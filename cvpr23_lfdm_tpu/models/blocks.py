@@ -1,0 +1,177 @@
+"""LFAE conv building blocks (reference LFAE/modules/util.py:70-214), NHWC.
+
+TPU-first deviations from the reference's layer zoo:
+* NHWC layout (TPU conv-friendly) instead of NCHW.
+* BatchNorm carries an optional `axis_name`; when set, batch statistics are
+  reduced with `lax.pmean` across the data mesh axis — a one-line TPU-native
+  replacement for the 650-LoC thread-based SyncBN package
+  (sync_batchnorm/batchnorm.py:48-125).
+* Down/upsampling via reshape-mean / repeat (no windowed reductions needed).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cvpr23_lfdm_tpu.ops.resize import avg_pool_2x2, upsample_nearest_2x
+
+
+class BatchNorm(nn.Module):
+    """Torch-semantics BatchNorm2d (momentum .1, eps 1e-5, affine).
+
+    `axis_name` syncs batch statistics across a mesh axis (SyncBN).
+    """
+
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis_name=self.axis_name if train else None,
+            dtype=jnp.float32,
+        )(x)
+
+
+def conv2d(features: int, kernel_size: int | tuple[int, int], name: str | None = None):
+    """Torch-default Conv2d: symmetric zero pad (k//2 when odd), with bias."""
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size, kernel_size)
+    pad = [(k // 2, k // 2) for k in kernel_size]
+    return nn.Conv(features, kernel_size, padding=pad, name=name)
+
+
+class SameBlock2d(nn.Module):
+    """conv -> BN -> ReLU, resolution preserved (util.py:135-150)."""
+
+    features: int
+    kernel_size: int = 3
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv2d(self.features, self.kernel_size, name="conv")(x)
+        x = BatchNorm(axis_name=self.axis_name, name="norm")(x, train)
+        return nn.relu(x)
+
+
+class DownBlock2d(nn.Module):
+    """conv -> BN -> ReLU -> avgpool2 (util.py:115-132)."""
+
+    features: int
+    kernel_size: int = 3
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv2d(self.features, self.kernel_size, name="conv")(x)
+        x = BatchNorm(axis_name=self.axis_name, name="norm")(x, train)
+        x = nn.relu(x)
+        return avg_pool_2x2(x)
+
+
+class UpBlock2d(nn.Module):
+    """nearest-2x -> conv -> BN -> ReLU (util.py:95-112)."""
+
+    features: int
+    kernel_size: int = 3
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = upsample_nearest_2x(x)
+        x = conv2d(self.features, self.kernel_size, name="conv")(x)
+        x = BatchNorm(axis_name=self.axis_name, name="norm")(x, train)
+        return nn.relu(x)
+
+
+class ResBlock2d(nn.Module):
+    """BN -> ReLU -> conv -> BN -> ReLU -> conv -> +x (util.py:70-92)."""
+
+    features: int
+    kernel_size: int = 3
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = BatchNorm(axis_name=self.axis_name, name="norm1")(x, train)
+        out = nn.relu(out)
+        out = conv2d(self.features, self.kernel_size, name="conv1")(out)
+        out = BatchNorm(axis_name=self.axis_name, name="norm2")(out, train)
+        out = nn.relu(out)
+        out = conv2d(self.features, self.kernel_size, name="conv2")(out)
+        return out + x
+
+
+def _encoder_channels(block_expansion: int, num_blocks: int, max_features: int) -> list[int]:
+    return [min(max_features, block_expansion * (2 ** (i + 1))) for i in range(num_blocks)]
+
+
+class Encoder(nn.Module):
+    """Hourglass encoder: stack of DownBlocks, returns all scales
+    (input included) coarsest-last (util.py:153-172)."""
+
+    block_expansion: int
+    num_blocks: int = 3
+    max_features: int = 256
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> list[jnp.ndarray]:
+        outs = [x]
+        for i, ch in enumerate(_encoder_channels(self.block_expansion, self.num_blocks, self.max_features)):
+            outs.append(
+                DownBlock2d(ch, 3, axis_name=self.axis_name, name=f"down_{i}")(outs[-1], train)
+            )
+        return outs
+
+
+class Decoder(nn.Module):
+    """Hourglass decoder with skip concatenation (util.py:175-199).
+
+    Output channels = block_expansion + in_features of the encoder input.
+    """
+
+    block_expansion: int
+    num_blocks: int = 3
+    max_features: int = 256
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False) -> jnp.ndarray:
+        feats = list(feats)
+        out = feats.pop()
+        for j, i in enumerate(reversed(range(self.num_blocks))):
+            ch = min(self.max_features, self.block_expansion * (2**i))
+            out = UpBlock2d(ch, 3, axis_name=self.axis_name, name=f"up_{j}")(out, train)
+            out = jnp.concatenate([out, feats.pop()], axis=-1)
+        return out
+
+
+class Hourglass(nn.Module):
+    """Encoder + decoder (util.py:202-214)."""
+
+    block_expansion: int
+    num_blocks: int = 3
+    max_features: int = 256
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> jnp.ndarray:
+        feats = Encoder(
+            self.block_expansion, self.num_blocks, self.max_features,
+            axis_name=self.axis_name, name="encoder",
+        )(x, train)
+        return Decoder(
+            self.block_expansion, self.num_blocks, self.max_features,
+            axis_name=self.axis_name, name="decoder",
+        )(feats, train)
+
+    @staticmethod
+    def out_filters(block_expansion: int, in_features: int) -> int:
+        return block_expansion + in_features

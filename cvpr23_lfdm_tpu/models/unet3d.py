@@ -1,0 +1,462 @@
+"""Conditional 3D UNet for latent-flow diffusion (epsilon predictor).
+
+Reference: DM/modules/video_flow_diffusion.py:70-588 (itself derived from
+lucidrains/video-diffusion-pytorch). TPU-native redesign:
+
+* NDHWC layout `[B, F, H, W, C]`; factorized space/time attention with the
+  tiny 40-token temporal axis batched over `(B, H*W)` — a shape XLA maps
+  straight onto the MXU, no ring/sequence tricks needed (SURVEY.md §5).
+* All "(1, k, k)" pseudo-3D convs are expressed as 2D convs over the
+  folded `(B*F)` batch — identical math, better TPU conv layouts.
+* Classifier-free guidance null-masking is passed in as an explicit
+  boolean mask (computed by the diffusion wrapper under the training PRNG),
+  keeping this module pure.
+* `cond_scale` sampling path batches {cond, null} into one UNet call
+  instead of two sequential evals (video_flow_diffusion.py:511-526).
+
+Parameterization matches the reference exactly (dim 64, mults (1,2,4,8),
+8 heads x 32 dim_head, FiLM cond = time(256) + text(768), two output heads:
+2ch flow noise + 1ch occlusion noise).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sinusoidal_pos_emb(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """video_flow_diffusion.py:141-153. `t: [B] -> [B, dim]`."""
+    half = dim // 2
+    scale = math.log(10000.0) / (half - 1)
+    freqs = jnp.exp(-scale * jnp.arange(half, dtype=jnp.float32))
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+def _rel_pos_bucket(rel: np.ndarray, num_buckets: int = 32, max_distance: int = 32) -> np.ndarray:
+    """T5 relative-position bucketing (video_flow_diffusion.py:84-102).
+
+    Static numpy: frame count is a compile-time constant.
+    """
+    ret = np.zeros_like(rel)
+    n = -rel
+    num_buckets //= 2
+    ret += (n < 0).astype(np.int64) * num_buckets
+    n = np.abs(n)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_large = max_exact + (
+        np.log(np.maximum(n, 1).astype(np.float64) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(np.int64)
+    val_large = np.minimum(val_large, num_buckets - 1)
+    ret += np.where(is_small, n, val_large)
+    return ret
+
+
+class RelativePositionBias(nn.Module):
+    """Learned T5-style temporal attention bias -> `[heads, F, F]`."""
+
+    heads: int = 8
+    num_buckets: int = 32
+    max_distance: int = 32
+
+    @nn.compact
+    def __call__(self, n: int) -> jnp.ndarray:
+        pos = np.arange(n, dtype=np.int64)
+        rel = pos[None, :] - pos[:, None]  # k_pos - q_pos
+        buckets = jnp.asarray(_rel_pos_bucket(rel, self.num_buckets, self.max_distance))
+        values = nn.Embed(self.num_buckets, self.heads, name="relative_attention_bias")(buckets)
+        return values.transpose(2, 0, 1)
+
+
+def _rotary_freqs(dim: int, n: int, theta: float = 10000.0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Interleaved rotary angle tables `[n, dim]` (lucidrains convention)."""
+    freqs = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+    angles = np.outer(np.arange(n, dtype=np.float64), freqs)  # [n, dim/2]
+    angles = np.repeat(angles, 2, axis=-1)  # interleave pairs
+    return jnp.asarray(np.cos(angles), jnp.float32), jnp.asarray(np.sin(angles), jnp.float32)
+
+
+def _rotate_half_interleaved(x: jnp.ndarray) -> jnp.ndarray:
+    x2 = x.reshape(x.shape[:-1] + (-1, 2))
+    a, b = x2[..., 0], x2[..., 1]
+    return jnp.stack([-b, a], axis=-1).reshape(x.shape)
+
+
+def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: `[..., n, d]`; cos/sin `[n, d]`."""
+    return x * cos + _rotate_half_interleaved(x) * sin
+
+
+class ChannelLayerNorm(nn.Module):
+    """Channel-only LayerNorm, gamma-scaled, biased variance, eps inside
+    sqrt (video_flow_diffusion.py:170-179)."""
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        out = (xf - mean) / jnp.sqrt(var + self.eps) * gamma
+        return out.astype(x.dtype)
+
+
+class TemporalAttention(nn.Module):
+    """Full attention over the frame axis, batched over pixels.
+
+    Reference `EinopsToAndFrom('b c f h w', 'b (h w) f c', Attention(...))`
+    with rotary embeddings + relative position bias
+    (video_flow_diffusion.py:286-363, 397-399).
+    Input `[B, F, H, W, C]`.
+    """
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 32
+    use_rotary: bool = True
+
+    @nn.compact
+    def __call__(self, x, pos_bias=None):
+        b, f, h, w, c = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(x)
+        qkv = qkv.reshape(b, f, h * w, 3, self.heads, self.dim_head)
+        # -> [B, HW, heads, F, d]
+        qkv = qkv.transpose(3, 0, 2, 4, 1, 5)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        q = q * (self.dim_head**-0.5)
+        if self.use_rotary:
+            cos, sin = _rotary_freqs(min(32, self.dim_head), f)
+            q = apply_rotary(q, cos, sin)
+            k = apply_rotary(k, cos, sin)
+
+        sim = jnp.einsum("bxhid,bxhjd->bxhij", q, k).astype(jnp.float32)
+        if pos_bias is not None:
+            sim = sim + pos_bias[None, None]
+        sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
+        attn = nn.softmax(sim, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bxhij,bxhjd->bxhid", attn, v)
+        out = out.transpose(0, 3, 1, 2, 4).reshape(b, f, h, w, hidden)
+        return nn.Dense(self.dim, use_bias=False, name="to_out")(out)
+
+
+class SpatialAttention(nn.Module):
+    """Full attention over pixels, batched over frames (mid-block only).
+
+    Reference `EinopsToAndFrom('b c f h w', 'b f (h w) c', Attention(...))`
+    without rotary/pos-bias (video_flow_diffusion.py:473).
+    """
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, h, w, c = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(x)
+        qkv = qkv.reshape(b, f, h * w, 3, self.heads, self.dim_head)
+        qkv = qkv.transpose(3, 0, 1, 4, 2, 5)  # [3, B, F, heads, HW, d]
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        q = q * (self.dim_head**-0.5)
+        sim = jnp.einsum("bfhid,bfhjd->bfhij", q, k).astype(jnp.float32)
+        sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
+        attn = nn.softmax(sim, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bfhij,bfhjd->bfhid", attn, v)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(b, f, h, w, hidden)
+        return nn.Dense(self.dim, use_bias=False, name="to_out")(out)
+
+
+class SpatialLinearAttention(nn.Module):
+    """Softmax-kernel linear attention per frame
+    (video_flow_diffusion.py:240-265)."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, h, w, c = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(x)
+        qkv = qkv.reshape(b, f, h * w, 3, self.heads, self.dim_head)
+        qkv = qkv.transpose(3, 0, 1, 4, 2, 5)  # [3, B, F, heads, N, d]
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        q = nn.softmax(q.astype(jnp.float32), axis=-1).astype(x.dtype)  # over d
+        k = nn.softmax(k.astype(jnp.float32), axis=-2).astype(x.dtype)  # over n
+        q = q * (self.dim_head**-0.5)
+        context = jnp.einsum("bfhnd,bfhne->bfhde", k, v)
+        out = jnp.einsum("bfhde,bfhnd->bfhne", context, q)
+        out = out.reshape(b, f, self.heads, h, w, self.dim_head)
+        out = out.transpose(0, 1, 3, 4, 2, 5).reshape(b, f, h, w, hidden)
+        return nn.Dense(self.dim, name="to_out")(out)
+
+
+class PreNormResidual(nn.Module):
+    """x + fn(LN(x)) (video_flow_diffusion.py:132-138, 182-190)."""
+
+    dim: int
+    fn: nn.Module
+
+    @nn.compact
+    def __call__(self, x, **kwargs):
+        return x + self.fn(ChannelLayerNorm(self.dim, name="norm")(x), **kwargs)
+
+
+def conv_2plus1d(features: int, k: int, name: str | None = None, padding_mode: str = "zeros"):
+    """(1, k, k) pseudo-3D conv as a frame-batched 2D conv wrapper."""
+    pad = k // 2
+
+    class _Conv(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            b, f, h, w, c = x.shape
+            y = x.reshape(b * f, h, w, c)
+            if padding_mode == "reflect" and pad > 0:
+                y = jnp.pad(y, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+                y = nn.Conv(features, (k, k), padding="VALID", name="conv")(y)
+            else:
+                y = nn.Conv(features, (k, k), padding=[(pad, pad), (pad, pad)], name="conv")(y)
+            return y.reshape(b, f, h, w, features)
+
+    return _Conv(name=name)
+
+
+class Block(nn.Module):
+    """conv(1,3,3) -> GroupNorm(8) -> FiLM -> SiLU
+    (video_flow_diffusion.py:196-211)."""
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, scale_shift=None):
+        x = conv_2plus1d(self.dim_out, 3, name="proj")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale + 1.0) + shift
+        return nn.silu(x)
+
+
+class ResnetBlock(nn.Module):
+    """Two FiLM blocks + 1x1x1 residual conv
+    (video_flow_diffusion.py:214-237)."""
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, cond_emb=None):
+        scale_shift = None
+        if cond_emb is not None:
+            t = nn.Dense(self.dim_out * 2, name="mlp")(nn.silu(cond_emb))
+            t = t[:, None, None, None, :]  # broadcast over F,H,W
+            scale_shift = jnp.split(t, 2, axis=-1)
+        h = Block(self.dim_out, self.groups, name="block1")(x, scale_shift)
+        h = Block(self.dim_out, self.groups, name="block2")(h)
+        if x.shape[-1] != self.dim_out:
+            x = nn.Conv(self.dim_out, (1, 1, 1), name="res_conv")(x)
+        return h + x
+
+
+class Downsample(nn.Module):
+    """(1,4,4)/(1,2,2) strided conv (video_flow_diffusion.py:166-167)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, h, w, c = x.shape
+        y = x.reshape(b * f, h, w, c)
+        y = nn.Conv(self.dim, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)], name="conv")(y)
+        return y.reshape(b, f, h // 2, w // 2, self.dim)
+
+
+class Upsample(nn.Module):
+    """ConvTranspose (1,4,4)/(1,2,2) pad 1, or nearest + (1,3,3) reflect conv
+    (video_flow_diffusion.py:156-163)."""
+
+    dim: int
+    use_deconv: bool = True
+    padding_mode: str = "reflect"
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, h, w, c = x.shape
+        y = x.reshape(b * f, h, w, c)
+        if self.use_deconv:
+            # torch ConvTranspose2d(k=4, s=2, p=1) == conv over 2x-dilated
+            # input with padding k-1-p=2 and flipped kernel; we own the
+            # parameter layout so the flip is folded into initialization.
+            kernel = self.param(
+                "kernel",
+                nn.initializers.lecun_normal(),
+                (4, 4, c, self.dim),
+            )
+            bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+            dn = jax.lax.conv_dimension_numbers(
+                y.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            y = jax.lax.conv_general_dilated(
+                y, kernel, window_strides=(1, 1), padding=[(2, 2), (2, 2)],
+                lhs_dilation=(2, 2), dimension_numbers=dn,
+            ) + bias
+            return y.reshape(b, f, 2 * h, 2 * w, self.dim)
+        else:
+            y = jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)
+            if self.padding_mode == "reflect":
+                y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+                y = nn.Conv(self.dim, (3, 3), padding="VALID", name="conv")(y)
+            else:
+                y = nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)], name="conv")(y)
+            return y.reshape(b, f, 2 * h, 2 * w, self.dim)
+
+
+class Unet3D(nn.Module):
+    """The denoiser. Input `[B, F, H, W, C_in]` (C_in = 3 latent + 256 ref
+    feature channels), output `[B, F, H, W, 3]` (2 flow + 1 conf noise).
+
+    Reference: DM/modules/video_flow_diffusion.py:368-588.
+    """
+
+    dim: int = 64
+    cond_dim: int = 768
+    out_grid_dim: int = 2
+    out_conf_dim: int = 1
+    dim_mults: Sequence[int] = (1, 2, 4, 8)
+    attn_heads: int = 8
+    attn_dim_head: int = 32
+    use_sparse_linear_attn: bool = True
+    resnet_groups: int = 8
+    learn_null_cond: bool = False
+    use_deconv: bool = True
+    padding_mode: str = "zeros"
+    use_final_activation: bool = False
+
+    @nn.compact
+    def __call__(self, x, time, cond=None, null_cond_mask=None):
+        """Args:
+          x: `[B, F, H, W, C_in]` noisy latent + ref features.
+          time: `[B]` int/float diffusion timestep.
+          cond: `[B, cond_dim]` text embedding (None for uncond model).
+          null_cond_mask: `[B]` bool; True replaces cond with the null
+            embedding (classifier-free guidance dropout / "None" texts).
+        """
+        b, f, h, w, _ = x.shape
+        dim = self.dim
+        heads = self.attn_heads
+
+        pos_bias = RelativePositionBias(
+            heads=heads, max_distance=32, name="time_rel_pos_bias"
+        )(f)
+
+        x = conv_2plus1d(dim, 7, name="init_conv")(x)
+        r = x
+        x = PreNormResidual(
+            dim,
+            TemporalAttention(dim, heads, self.attn_dim_head, name="attn"),
+            name="init_temporal_attn",
+        )(x, pos_bias=pos_bias)
+
+        # time conditioning MLP (video_flow_diffusion.py:422-428)
+        time_dim = dim * 4
+        t = sinusoidal_pos_emb(time, dim)
+        t = nn.Dense(time_dim, name="time_mlp_1")(t)
+        t = nn.gelu(t, approximate=False)
+        t = nn.Dense(time_dim, name="time_mlp_2")(t)
+
+        if cond is not None:
+            if self.learn_null_cond:
+                null_emb = self.param(
+                    "null_cond_emb", nn.initializers.normal(1.0), (self.cond_dim,)
+                )
+            else:
+                null_emb = jnp.zeros((self.cond_dim,), dtype=jnp.float32)
+            if null_cond_mask is None:
+                null_cond_mask = jnp.zeros((b,), dtype=bool)
+            cond = jnp.where(null_cond_mask[:, None], null_emb[None, :], cond)
+            t = jnp.concatenate([t, cond.astype(t.dtype)], axis=-1)
+
+        dims = [dim] + [dim * m for m in self.dim_mults]
+        in_out = list(zip(dims[:-1], dims[1:]))
+        n_levels = len(in_out)
+
+        hs = []
+        for ind, (_, dim_out) in enumerate(in_out):
+            is_last = ind >= n_levels - 1
+            x = ResnetBlock(dim_out, self.resnet_groups, name=f"downs_{ind}_block1")(x, t)
+            x = ResnetBlock(dim_out, self.resnet_groups, name=f"downs_{ind}_block2")(x, t)
+            if self.use_sparse_linear_attn:
+                x = PreNormResidual(
+                    dim_out,
+                    SpatialLinearAttention(dim_out, heads, self.attn_dim_head, name="attn"),
+                    name=f"downs_{ind}_spatial_attn",
+                )(x)
+            x = PreNormResidual(
+                dim_out,
+                TemporalAttention(dim_out, heads, self.attn_dim_head, name="attn"),
+                name=f"downs_{ind}_temporal_attn",
+            )(x, pos_bias=pos_bias)
+            hs.append(x)
+            if not is_last:
+                x = Downsample(dim_out, name=f"downs_{ind}_downsample")(x)
+
+        mid_dim = dims[-1]
+        x = ResnetBlock(mid_dim, self.resnet_groups, name="mid_block1")(x, t)
+        x = PreNormResidual(
+            mid_dim,
+            SpatialAttention(mid_dim, heads, self.attn_dim_head, name="attn"),
+            name="mid_spatial_attn",
+        )(x)
+        x = PreNormResidual(
+            mid_dim,
+            TemporalAttention(mid_dim, heads, self.attn_dim_head, name="attn"),
+            name="mid_temporal_attn",
+        )(x, pos_bias=pos_bias)
+        x = ResnetBlock(mid_dim, self.resnet_groups, name="mid_block2")(x, t)
+
+        for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
+            is_last = ind >= n_levels - 1
+            x = jnp.concatenate([x, hs.pop()], axis=-1)
+            x = ResnetBlock(dim_in, self.resnet_groups, name=f"ups_{ind}_block1")(x, t)
+            x = ResnetBlock(dim_in, self.resnet_groups, name=f"ups_{ind}_block2")(x, t)
+            if self.use_sparse_linear_attn:
+                x = PreNormResidual(
+                    dim_in,
+                    SpatialLinearAttention(dim_in, heads, self.attn_dim_head, name="attn"),
+                    name=f"ups_{ind}_spatial_attn",
+                )(x)
+            x = PreNormResidual(
+                dim_in,
+                TemporalAttention(dim_in, heads, self.attn_dim_head, name="attn"),
+                name=f"ups_{ind}_temporal_attn",
+            )(x, pos_bias=pos_bias)
+            if not is_last:
+                x = Upsample(
+                    dim_in, self.use_deconv, self.padding_mode, name=f"ups_{ind}_upsample"
+                )(x)
+
+        x = jnp.concatenate([x, r], axis=-1)
+        grid = Block(dim, self.resnet_groups, name="final_block")(x)
+        grid = nn.Conv(self.out_grid_dim, (1, 1, 1), name="final_conv")(grid)
+        if self.use_final_activation:
+            grid = jnp.tanh(grid)
+        conf = Block(dim, self.resnet_groups, name="occlusion_block")(x)
+        conf = nn.Conv(self.out_conf_dim, (1, 1, 1), name="occlusion_conv")(conf)
+        return jnp.concatenate([grid, conf], axis=-1)
