@@ -1,0 +1,265 @@
+"""FlowDiffusion: frozen LFAE + conditional 3D-UNet diffusion, end to end.
+
+Reference: DM/modules/video_flow_diffusion_model.py:17-253. TPU-native
+redesign of the two reference hot loops:
+
+* The per-frame pseudo-ground-truth LFAE loop (reference :126-137 — 40
+  sequential full LFAE passes per step, each with a CPU SVD sync) is ONE
+  batched call with frames folded into the batch axis `[B*F, ...]`.
+* The per-frame decode loops (:167-175, :206-214) likewise fold into one
+  `forward_with_flow` call.
+
+Everything here is a pure function over explicit variable pytrees:
+`lfae_vars` (frozen stage-1 weights) and `unet_vars` (trainable). Latent
+volumes are channel-last `[B, F, h, w, 3]` = (flow_x, flow_y, conf*2-1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from cvpr23_lfdm_tpu.config import DiffusionConfig, LFAEConfig
+from cvpr23_lfdm_tpu.diffusion.gaussian_diffusion import GaussianDiffusion
+from cvpr23_lfdm_tpu.models.flow_autoenc import build_lfae_modules
+from cvpr23_lfdm_tpu.models.generator import Generator
+from cvpr23_lfdm_tpu.models.unet3d import Unet3D
+from cvpr23_lfdm_tpu.ops.grid import identity_flow_volume
+
+
+def _fold(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, F, ...] -> [B*F, ...]"""
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _unfold(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    """[B*F, ...] -> [B, F, ...]"""
+    return x.reshape((b, -1) + x.shape[1:])
+
+
+def _repeat_frames(tree, f: int):
+    """Repeat each leaf's batch entries F times: [B, ...] -> [B*F, ...]."""
+    return jax.tree.map(lambda a: jnp.repeat(a, f, axis=0), tree)
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowDiffusion:
+    """Stateless orchestrator; all methods are pure and jit-compatible."""
+
+    lfae_cfg: LFAEConfig
+    cfg: DiffusionConfig
+
+    def __post_init__(self):
+        region, bg, generator = build_lfae_modules(self.lfae_cfg)
+        object.__setattr__(self, "region_predictor", region)
+        object.__setattr__(self, "bg_predictor", bg)
+        object.__setattr__(self, "generator", generator)
+        object.__setattr__(
+            self,
+            "unet",
+            Unet3D(
+                dim=self.cfg.dim,
+                cond_dim=self.cfg.cond_dim,
+                dim_mults=tuple(self.cfg.dim_mults),
+                attn_heads=self.cfg.attn_heads,
+                attn_dim_head=self.cfg.attn_dim_head,
+                learn_null_cond=self.cfg.learn_null_cond,
+                use_deconv=self.cfg.use_deconv,
+                use_final_activation=self.cfg.use_final_activation,
+            ),
+        )
+        object.__setattr__(self, "diffusion", GaussianDiffusion.create(self.cfg))
+
+    # ------------------------------------------------------------ submodule glue
+
+    def _lfae_sub(self, lfae_vars: dict, name: str) -> dict:
+        return {
+            "params": lfae_vars["params"][name],
+            "batch_stats": lfae_vars["batch_stats"][name],
+        }
+
+    def denoise_fn(self, unet_vars: dict):
+        """Bind UNet variables into a pure eps-predictor."""
+
+        def denoise(x, t, cond, null_cond_mask):
+            return self.unet.apply(unet_vars, x, t, cond, null_cond_mask)
+
+        return denoise
+
+    # ------------------------------------------------------------ pseudo GT
+
+    def pseudo_ground_truth(
+        self, lfae_vars: dict, ref_img: jnp.ndarray, real_vid: jnp.ndarray
+    ) -> dict:
+        """Frozen-LFAE latent flow volume for a real video
+        (video_flow_diffusion_model.py:116-143), frame-batched.
+
+        Args:
+          ref_img: `[B, H, W, 3]` (frame 0 of each video in training).
+          real_vid: `[B, F, H, W, 3]`.
+
+        Returns dict with `vid_grid [B,F,h,w,2]`, `vid_conf [B,F,h,w,1]`,
+        `out_vid`/`warped_vid [B,F,H,W,3]`, `ref_fea [B,h,w,C]`.
+        """
+        b, f = real_vid.shape[:2]
+        region_vars = self._lfae_sub(lfae_vars, "region_predictor")
+        bg_vars = self._lfae_sub(lfae_vars, "bg_predictor")
+        gen_vars = self._lfae_sub(lfae_vars, "generator")
+
+        source_params = self.region_predictor.apply(region_vars, ref_img)
+        frames = _fold(real_vid)  # [B*F, H, W, 3]
+        driving_params = self.region_predictor.apply(region_vars, frames)
+
+        ref_rep = jnp.repeat(ref_img, f, axis=0)
+        bg_params = self.bg_predictor.apply(bg_vars, ref_rep, frames)
+
+        generated = self.generator.apply(
+            gen_vars,
+            ref_rep,
+            driving_params,
+            _repeat_frames(source_params, f),
+            bg_params,
+        )
+        out = {
+            "vid_grid": _unfold(generated["optical_flow"], b),
+            "vid_conf": _unfold(generated["occlusion_map"], b),
+            "out_vid": _unfold(generated["prediction"], b),
+            "warped_vid": _unfold(generated["deformed"], b),
+            # same reference image every frame; take one bottleneck feature
+            "ref_fea": _unfold(generated["bottle_neck_feat"], b)[:, 0],
+        }
+        return jax.lax.stop_gradient(out)
+
+    # ------------------------------------------------------------ latent codec
+
+    def encode_latent(self, vid_grid: jnp.ndarray, vid_conf: jnp.ndarray) -> jnp.ndarray:
+        """(flow, conf) -> diffusion space `[B,F,h,w,3]`
+        (video_flow_diffusion_model.py:146-157): conf mapped to [-1,1],
+        optionally flow made residual to the identity grid."""
+        if self.cfg.use_residual_flow:
+            b, f, h, w = vid_grid.shape[:4]
+            vid_grid = vid_grid - identity_flow_volume(b, f, h, w, vid_grid.dtype)
+        return jnp.concatenate([vid_grid, vid_conf * 2.0 - 1.0], axis=-1)
+
+    def decode_latent(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """diffusion space -> (flow `[B,F,h,w,2]`, conf `[B,F,h,w,1]`)
+        (video_flow_diffusion_model.py:163-166, 196-201)."""
+        vid_grid = x[..., :2]
+        if self.cfg.use_residual_flow:
+            b, f, h, w = vid_grid.shape[:4]
+            vid_grid = vid_grid + identity_flow_volume(b, f, h, w, vid_grid.dtype)
+        vid_conf = (x[..., 2:3] + 1.0) * 0.5
+        return vid_grid, vid_conf
+
+    # ------------------------------------------------------------ decode to video
+
+    def decode_flow_video(
+        self, lfae_vars: dict, ref_img: jnp.ndarray,
+        vid_grid: jnp.ndarray, vid_conf: jnp.ndarray,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-frame `forward_with_flow`, frame-batched
+        (video_flow_diffusion_model.py:167-175). Returns (out_vid, warped_vid)."""
+        b, f = vid_grid.shape[:2]
+        gen_vars = self._lfae_sub(lfae_vars, "generator")
+        generated = self.generator.apply(
+            gen_vars,
+            jnp.repeat(ref_img, f, axis=0),
+            _fold(vid_grid),
+            _fold(vid_conf),
+            method=Generator.forward_with_flow,
+        )
+        return _unfold(generated["prediction"], b), _unfold(generated["deformed"], b)
+
+    # ------------------------------------------------------------ training
+
+    def loss(
+        self,
+        unet_vars: dict,
+        lfae_vars: dict,
+        rng: jax.Array,
+        ref_img: jnp.ndarray,
+        real_vid: jnp.ndarray,
+        cond: jnp.ndarray,
+        none_cond_mask: jnp.ndarray | None = None,
+        with_monitoring: bool = True,
+    ) -> tuple[jnp.ndarray, dict]:
+        """Full training forward (video_flow_diffusion_model.py:116-179).
+
+        Returns (diffusion loss, aux dict incl. monitoring reconstructions).
+        """
+        gt = self.pseudo_ground_truth(lfae_vars, ref_img, real_vid)
+        x_start = self.encode_latent(gt["vid_grid"], gt["vid_conf"])
+        loss, dm_aux = self.diffusion.p_losses(
+            self.denoise_fn(unet_vars), rng, x_start, gt["ref_fea"], cond, none_cond_mask
+        )
+        aux = {"loss": loss, **gt}
+        if with_monitoring:
+            pred_x0 = jax.lax.stop_gradient(dm_aux["pred_x0"])
+            fake_grid, fake_conf = self.decode_latent(pred_x0)
+            fake_out, fake_warped = self.decode_flow_video(
+                lfae_vars, ref_img, fake_grid, fake_conf
+            )
+            aux.update(
+                fake_out_vid=fake_out,
+                fake_warped_vid=fake_warped,
+                fake_vid_grid=fake_grid,
+                fake_vid_conf=fake_conf,
+                rec_loss=jnp.mean(jnp.abs(real_vid - fake_out)),
+                rec_warp_loss=jnp.mean(jnp.abs(real_vid - fake_warped)),
+            )
+        return loss, aux
+
+    # ------------------------------------------------------------ sampling
+
+    def sample_video(
+        self,
+        unet_vars: dict,
+        lfae_vars: dict,
+        rng: jax.Array,
+        sample_img: jnp.ndarray,
+        cond: jnp.ndarray,
+        cond_scale: float = 1.0,
+    ) -> dict:
+        """`sample_one_video` (video_flow_diffusion_model.py:190-216):
+        encoder feature -> DDPM/DDIM scan -> frame-batched decode."""
+        gen_vars = self._lfae_sub(lfae_vars, "generator")
+        fea = self.generator.apply(
+            gen_vars, sample_img, method=Generator.compute_fea
+        )
+        pred = self.diffusion.sample(
+            self.denoise_fn(unet_vars),
+            rng,
+            fea,
+            cond=cond,
+            cond_scale=cond_scale,
+            num_frames=self.cfg.num_frames,
+            image_size=self.cfg.img_size,
+        )
+        vid_grid, vid_conf = self.decode_latent(pred)
+        out_vid, warped_vid = self.decode_flow_video(
+            lfae_vars, sample_img, vid_grid, vid_conf
+        )
+        return {
+            "vid_grid": vid_grid,
+            "vid_conf": vid_conf,
+            "out_vid": out_vid,
+            "warped_vid": warped_vid,
+        }
+
+    # ------------------------------------------------------------ init
+
+    def init_unet_vars(self, rng: jax.Array, batch: int = 1) -> dict:
+        c_in = 3 + self._fea_channels()
+        x = jnp.zeros(
+            (batch, self.cfg.num_frames, self.cfg.img_size, self.cfg.img_size, c_in),
+            jnp.float32,
+        )
+        t = jnp.zeros((batch,), jnp.int32)
+        cond = jnp.zeros((batch, self.cfg.cond_dim), jnp.float32)
+        return self.unet.init(rng, x, t, cond)
+
+    def _fea_channels(self) -> int:
+        g = self.lfae_cfg.generator
+        return min(g.max_features, g.block_expansion * (2**g.num_down_blocks))

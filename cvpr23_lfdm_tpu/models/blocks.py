@@ -19,23 +19,18 @@ import jax.numpy as jnp
 from cvpr23_lfdm_tpu.ops.resize import avg_pool_2x2, upsample_nearest_2x
 
 
-class BatchNorm(nn.Module):
+def batch_norm(axis_name: str | None = None, name: str | None = None) -> nn.BatchNorm:
     """Torch-semantics BatchNorm2d (momentum .1, eps 1e-5, affine).
 
-    `axis_name` syncs batch statistics across a mesh axis (SyncBN).
+    Call as `bn(x, use_running_average=not train)`. Under pjit-style data
+    parallelism batch statistics are global automatically (the mean over a
+    sharded batch axis compiles to an ICI all-reduce); `axis_name` is only
+    needed for shard_map/pmap-style SPMD — either way this replaces the
+    reference's thread-based SyncBN (sync_batchnorm/batchnorm.py:48-125).
     """
-
-    axis_name: str | None = None
-
-    @nn.compact
-    def __call__(self, x, train: bool):
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            axis_name=self.axis_name if train else None,
-            dtype=jnp.float32,
-        )(x)
+    return nn.BatchNorm(
+        momentum=0.9, epsilon=1e-5, axis_name=axis_name, dtype=jnp.float32, name=name
+    )
 
 
 def conv2d(features: int, kernel_size: int | tuple[int, int], name: str | None = None):
@@ -56,7 +51,7 @@ class SameBlock2d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = conv2d(self.features, self.kernel_size, name="conv")(x)
-        x = BatchNorm(axis_name=self.axis_name, name="norm")(x, train)
+        x = batch_norm(self.axis_name, name="norm")(x, use_running_average=not train)
         return nn.relu(x)
 
 
@@ -70,7 +65,7 @@ class DownBlock2d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = conv2d(self.features, self.kernel_size, name="conv")(x)
-        x = BatchNorm(axis_name=self.axis_name, name="norm")(x, train)
+        x = batch_norm(self.axis_name, name="norm")(x, use_running_average=not train)
         x = nn.relu(x)
         return avg_pool_2x2(x)
 
@@ -86,7 +81,7 @@ class UpBlock2d(nn.Module):
     def __call__(self, x, train: bool = False):
         x = upsample_nearest_2x(x)
         x = conv2d(self.features, self.kernel_size, name="conv")(x)
-        x = BatchNorm(axis_name=self.axis_name, name="norm")(x, train)
+        x = batch_norm(self.axis_name, name="norm")(x, use_running_average=not train)
         return nn.relu(x)
 
 
@@ -99,10 +94,10 @@ class ResBlock2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        out = BatchNorm(axis_name=self.axis_name, name="norm1")(x, train)
+        out = batch_norm(self.axis_name, name="norm1")(x, use_running_average=not train)
         out = nn.relu(out)
         out = conv2d(self.features, self.kernel_size, name="conv1")(out)
-        out = BatchNorm(axis_name=self.axis_name, name="norm2")(out, train)
+        out = batch_norm(self.axis_name, name="norm2")(out, use_running_average=not train)
         out = nn.relu(out)
         out = conv2d(self.features, self.kernel_size, name="conv2")(out)
         return out + x

@@ -1,0 +1,159 @@
+"""Text conditioning: BERT class-text embeddings.
+
+Reference: DM/modules/text.py — a frozen `bert-base-cased` whose masked
+token-mean (excluding [CLS]) yields a 768-d embedding; in the reference it
+is only ever fed the fixed class-name vocabulary of each dataset
+(DM/datasets_{mug,mhad,natops}.py). TPU-native strategy (SURVEY.md §7.7):
+precompute the <40 class embeddings once on host with HF transformers and
+cache them; the serving/training path is then a pure table lookup with no
+torch/HF dependency. A pluggable `encode_texts` remains for free text.
+
+Class lists are transcribed verbatim from the reference datasets
+(datasets_mug.py:26, datasets_mhad.py:25-51, datasets_natops.py:30-53).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+BERT_MODEL_DIM = 768
+NULL_TEXT = "None"  # forced-null conditioning token (video_flow_diffusion.py:863)
+
+MUG_CLASSES = (
+    "anger", "disgust", "fear", "happiness", "neutral", "sadness", "surprise",
+)
+
+MHAD_CLASSES = (
+    "right arm swipe to the left",
+    "right arm swipe to the right",
+    "right hand wave",
+    "two hand front clap",
+    "right arm throw",
+    "cross arms in the chest",
+    "basketball shooting",
+    "draw x",
+    "draw circle clockwise",
+    "draw circle counter clockwise",
+    "draw triangle",
+    "right hand bowling",
+    "front boxing",
+    "baseball swing from right",
+    "tennis forehand swing",
+    "two arms curl",
+    "tennis serve",
+    "two hand push",
+    "knock on door",
+    "hand catch",
+    "pick up and throw",
+    "jogging",
+    "walking",
+    "sit to stand",
+    "stand to sit",
+    "forward lunge (left foot forward)",
+    "squat",
+)
+
+NATOPS_CLASSES = (
+    "I Have Command",
+    "All Clear",
+    "Not Clear",
+    "Spread Wings",
+    "Fold Wings",
+    "Lock Wings",
+    "Up Hook",
+    "Down Hook",
+    "Remove Tiedowns",
+    "Remove Chocks",
+    "Insert Chocks",
+    "Move Ahead",
+    "Turn Left",
+    "Turn Right",
+    "Next Marshaller",
+    "Slow Down",
+    "Stop",
+    "Nosegear Steering",
+    "Hot Brakes",
+    "Brakes On",
+    "Brakes Off",
+    "Install Tiedowns",
+    "Fire",
+    "Cut Engine",
+)
+
+DATASET_CLASSES = {"mug": MUG_CLASSES, "mhad": MHAD_CLASSES, "natops": NATOPS_CLASSES}
+
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "assets")
+
+
+def bert_masked_mean_embed(texts: list[str]) -> np.ndarray:
+    """Reference `bert_embed(tokenize(texts))` semantics (DM/modules/text.py:56-89):
+    final hidden states, masked mean over tokens excluding [CLS], eps 1e-8.
+
+    Host-side, torch CPU; used only to (re)build embedding caches.
+    """
+    import torch
+    from transformers import AutoModel, AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained("bert-base-cased")
+    model = AutoModel.from_pretrained("bert-base-cased")
+    model.eval()
+    enc = tok(list(texts), padding=True, return_tensors="pt")
+    with torch.no_grad():
+        out = model(
+            input_ids=enc.input_ids,
+            attention_mask=(enc.input_ids != 0).long(),
+            output_hidden_states=True,
+        )
+    hidden = out.hidden_states[-1]
+    mask = (enc.input_ids != 0)[:, 1:, None].float()
+    num = (hidden[:, 1:] * mask).sum(1)
+    den = mask.sum(1)
+    return (num / (den + 1e-8)).numpy().astype(np.float32)
+
+
+class TextEmbedder:
+    """Embedding table over a fixed vocabulary + NULL text.
+
+    `__call__(texts)` -> (`[B, 768]` embeddings, `[B]` bool none-mask).
+    """
+
+    def __init__(self, classes: tuple[str, ...], table: np.ndarray):
+        self.classes = tuple(classes)
+        self.table = table
+        self.index = {c: i for i, c in enumerate(self.classes)}
+
+    @staticmethod
+    def cache_path(dataset: str) -> str:
+        return os.path.abspath(os.path.join(_CACHE_DIR, f"bert_{dataset}.npz"))
+
+    @classmethod
+    def build(cls, dataset: str, recompute: bool = False) -> "TextEmbedder":
+        """Load the cached table for a dataset, computing it if missing."""
+        classes = DATASET_CLASSES[dataset]
+        path = cls.cache_path(dataset)
+        if os.path.exists(path) and not recompute:
+            data = np.load(path, allow_pickle=True)
+            cached = tuple(data["classes"].tolist())
+            if cached == tuple(classes):
+                return cls(classes, data["table"].astype(np.float32))
+        table = bert_masked_mean_embed(list(classes))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez(path, classes=np.array(classes, dtype=object), table=table)
+        return cls(classes, table)
+
+    @classmethod
+    def random_for_testing(cls, classes: tuple[str, ...], seed: int = 0) -> "TextEmbedder":
+        rng = np.random.RandomState(seed)
+        return cls(classes, rng.randn(len(classes), BERT_MODEL_DIM).astype(np.float32))
+
+    def __call__(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        none_mask = np.array([t == NULL_TEXT for t in texts], dtype=bool)
+        idx = np.array([0 if m else self.index[t] for t, m in zip(texts, none_mask)])
+        emb = self.table[idx]
+        emb[none_mask] = 0.0  # value irrelevant; forced to null embedding downstream
+        return emb.astype(np.float32), none_mask
+
+    def ids(self, texts: list[str]) -> np.ndarray:
+        return np.array([self.index[t] for t in texts], dtype=np.int32)

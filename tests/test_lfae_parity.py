@@ -1,0 +1,218 @@
+"""Weight-identical parity tests: LFAE modules vs the torch reference oracle.
+
+Torch modules are randomly initialized, briefly run in train mode (to make
+BN running stats non-trivial), switched to eval, exported, converted, and
+compared against the flax modules on identical inputs.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from tests.ref_oracle import aligned_svd, sd_numpy, nchw, nhwc
+from cvpr23_lfdm_tpu.models.region_predictor import RegionPredictor
+from cvpr23_lfdm_tpu.models.bg_predictor import BGMotionPredictor
+from cvpr23_lfdm_tpu.models.generator import Generator
+from cvpr23_lfdm_tpu.utils import torch_convert as tc
+
+from LFAE.modules import region_predictor as ref_rp
+from LFAE.modules import bg_motion_predictor as ref_bg
+from LFAE.modules import generator as ref_gen
+
+# Small-but-structurally-complete config (3 hourglass blocks, 64px input).
+K = 4
+IMG = 64
+BE, MF, NB = 8, 64, 3
+
+
+def _warm_bn(module, *inputs, steps=2):
+    """Run torch module in train mode to get non-trivial BN running stats."""
+    module.train()
+    with torch.no_grad():
+        for _ in range(steps):
+            module(*inputs)
+    module.eval()
+
+
+@pytest.fixture(scope="module")
+def region_pair():
+    torch.manual_seed(0)
+    ref = ref_rp.RegionPredictor(
+        block_expansion=BE, num_regions=K, num_channels=3, max_features=MF,
+        num_blocks=NB, temperature=0.1, estimate_affine=True, scale_factor=0.25,
+        pca_based=True, pad=3,
+    )
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, IMG, IMG, 3).astype(np.float32)
+    _warm_bn(ref, nchw(x))
+    ours = RegionPredictor(
+        num_regions=K, block_expansion=BE, max_features=MF, num_blocks=NB,
+        temperature=0.1, scale_factor=0.25, pca_based=True, pad=3,
+    )
+    variables = tc.convert_region_predictor(sd_numpy(ref), num_blocks=NB)
+    variables = jax.tree.map(jnp.asarray, variables)
+    return ref, ours, variables, x
+
+
+def test_region_predictor_parity(region_pair, monkeypatch):
+    ref, ours, variables, x = region_pair
+    monkeypatch.setattr(ref_rp, "svd", aligned_svd)
+    with torch.no_grad():
+        theirs = ref(nchw(x))
+    out = ours.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out["shift"]), theirs["shift"].numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["covar"]), theirs["covar"].numpy(), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["heatmap"]), nhwc(theirs["heatmap"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["affine"]), theirs["affine"].numpy(), atol=5e-4
+    )
+
+
+def test_region_predictor_train_mode_batch_stats(region_pair):
+    """Train mode uses batch stats and updates running stats like torch."""
+    ref, ours, variables, x = region_pair
+    import copy
+
+    ref2 = copy.deepcopy(ref)
+    ref2.train()
+    with torch.no_grad():
+        theirs = ref2(nchw(x))
+    out, mutated = ours.apply(
+        variables, jnp.asarray(x), train=True, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(np.asarray(out["shift"]), theirs["shift"].numpy(), atol=1e-4)
+    # running stats updated identically (momentum 0.1 torch == 0.9 flax)
+    ref_sd = sd_numpy(ref2)
+    new_mean = np.asarray(
+        mutated["batch_stats"]["predictor"]["encoder"]["down_0"]["norm"]["mean"]
+    )
+    np.testing.assert_allclose(
+        new_mean, ref_sd["predictor.encoder.down_blocks.0.norm.running_mean"], atol=2e-5
+    )
+
+
+def test_bg_predictor_parity():
+    torch.manual_seed(1)
+    ref = ref_bg.BGMotionPredictor(
+        block_expansion=BE, num_channels=3, max_features=MF, num_blocks=NB,
+        bg_type="affine",
+    )
+    rng = np.random.RandomState(1)
+    src = rng.rand(2, IMG, IMG, 3).astype(np.float32)
+    dri = rng.rand(2, IMG, IMG, 3).astype(np.float32)
+    _warm_bn(ref, nchw(src), nchw(dri))
+    with torch.no_grad():
+        theirs = ref(nchw(src), nchw(dri)).numpy()
+    ours = BGMotionPredictor(
+        block_expansion=BE, max_features=MF, num_blocks=NB, bg_type="affine"
+    )
+    variables = jax.tree.map(jnp.asarray, tc.convert_bg_predictor(sd_numpy(ref), NB))
+    out = ours.apply(variables, jnp.asarray(src), jnp.asarray(dri), train=False)
+    np.testing.assert_allclose(np.asarray(out), theirs, atol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def generator_pair():
+    torch.manual_seed(2)
+    pf_params = dict(
+        block_expansion=BE, max_features=MF, num_blocks=NB, scale_factor=0.25,
+        use_deformed_source=True, use_covar_heatmap=True, estimate_occlusion_map=True,
+    )
+    ref = ref_gen.Generator(
+        num_channels=3, num_regions=K, block_expansion=16, max_features=64,
+        num_down_blocks=2, num_bottleneck_blocks=2,
+        pixelwise_flow_predictor_params=pf_params, skips=True, revert_axis_swap=True,
+    )
+    ours = Generator(
+        num_channels=3, num_regions=K, block_expansion=16, max_features=64,
+        num_down_blocks=2, num_bottleneck_blocks=2, skips=True, revert_axis_swap=True,
+        pixelwise_flow_predictor_params=dict(region_var=0.01, **pf_params),
+    )
+    rng = np.random.RandomState(2)
+    src = rng.rand(2, IMG, IMG, 3).astype(np.float32)
+
+    # region params in both layouts (driving/source shift+covar+affine)
+    def rand_params(seed):
+        r = np.random.RandomState(seed)
+        shift = r.uniform(-0.5, 0.5, (2, K, 2)).astype(np.float32)
+        m = r.randn(2, K, 2, 2).astype(np.float32) * 0.3
+        covar = m @ m.transpose(0, 1, 3, 2) + 0.05 * np.eye(2, dtype=np.float32)
+        from tests.ref_oracle import numpy_eigh_2x2_aligned
+
+        u, s = numpy_eigh_2x2_aligned(covar)
+        affine = u * np.sqrt(np.maximum(s, 0))[..., None, :]
+        return {"shift": shift, "covar": covar, "affine": affine.astype(np.float32)}
+
+    dri_p, src_p = rand_params(3), rand_params(4)
+    bg = np.eye(3, dtype=np.float32)[None].repeat(2, 0)
+    bg[:, :2, 2] = np.random.RandomState(5).uniform(-0.1, 0.1, (2, 2))
+
+    t_dri = {k: torch.from_numpy(v) for k, v in dri_p.items()}
+    t_src = {k: torch.from_numpy(v) for k, v in src_p.items()}
+    _warm_bn(ref, nchw(src), t_dri, t_src, torch.from_numpy(bg))
+    variables = jax.tree.map(
+        jnp.asarray, tc.convert_generator(sd_numpy(ref), 2, 2, NB)
+    )
+    return ref, ours, variables, src, dri_p, src_p, bg
+
+
+def test_generator_full_parity(generator_pair):
+    ref, ours, variables, src, dri_p, src_p, bg = generator_pair
+    t_dri = {k: torch.from_numpy(v) for k, v in dri_p.items()}
+    t_src = {k: torch.from_numpy(v) for k, v in src_p.items()}
+    with torch.no_grad():
+        theirs = ref(nchw(src), t_dri, t_src, torch.from_numpy(bg))
+    j_dri = jax.tree.map(jnp.asarray, dri_p)
+    j_src = jax.tree.map(jnp.asarray, src_p)
+    out = ours.apply(
+        variables, jnp.asarray(src), j_dri, j_src, jnp.asarray(bg), train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["optical_flow"]), theirs["optical_flow"].numpy(), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["occlusion_map"]), nhwc(theirs["occlusion_map"]), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["bottle_neck_feat"]), nhwc(theirs["bottle_neck_feat"]), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["deformed"]), nhwc(theirs["deformed"]), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), nhwc(theirs["prediction"]), atol=5e-5
+    )
+
+
+def test_generator_forward_with_flow_parity(generator_pair):
+    ref, ours, variables, src, _, _, _ = generator_pair
+    rng = np.random.RandomState(6)
+    flow = rng.uniform(-1, 1, (2, IMG // 4, IMG // 4, 2)).astype(np.float32)
+    occ = rng.uniform(0, 1, (2, IMG // 4, IMG // 4, 1)).astype(np.float32)
+    with torch.no_grad():
+        theirs = ref.forward_with_flow(
+            nchw(src), torch.from_numpy(flow),
+            torch.from_numpy(np.transpose(occ, (0, 3, 1, 2))),
+        )
+    out = ours.apply(
+        variables, jnp.asarray(src), jnp.asarray(flow), jnp.asarray(occ),
+        method=Generator.forward_with_flow,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"]), nhwc(theirs["prediction"]), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["deformed"]), nhwc(theirs["deformed"]), atol=3e-5
+    )
+
+
+def test_generator_compute_fea_parity(generator_pair):
+    ref, ours, variables, src, _, _, _ = generator_pair
+    with torch.no_grad():
+        theirs = ref.compute_fea(nchw(src))
+    out = ours.apply(variables, jnp.asarray(src), method=Generator.compute_fea)
+    np.testing.assert_allclose(np.asarray(out), nhwc(theirs), atol=3e-5)
