@@ -192,29 +192,37 @@ class GaussianDiffusion:
     def p_sample_loop(
         self, denoise: DenoiseFn, rng: jax.Array, shape: tuple,
         fea: jnp.ndarray, cond=None, cond_scale: float = 1.0,
+        init_img: jnp.ndarray | None = None,
+        noise_seq: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """Ancestral sampler as one `lax.scan` over T steps
-        (video_flow_diffusion.py:737-759)."""
+        (video_flow_diffusion.py:737-759). `init_img`/`noise_seq` allow
+        injecting the gaussians (tests, reproducibility across frameworks)."""
         b, f = shape[0], shape[1]
         key_init, key_loop = jax.random.split(rng)
-        img = jax.random.normal(key_init, shape, jnp.float32)
+        img = (
+            jax.random.normal(key_init, shape, jnp.float32)
+            if init_img is None
+            else init_img
+        )
         fea_t = self._tile_fea(fea, f)
         ts = jnp.arange(self.timesteps - 1, -1, -1)
         keys = jax.random.split(key_loop, self.timesteps)
+        if noise_seq is None:
+            noise_seq = jax.vmap(lambda k: jax.random.normal(k, shape, jnp.float32))(keys)
 
         def step(img, inp):
-            t_scalar, key = inp
+            t_scalar, noise = inp
             t = jnp.full((b,), t_scalar, jnp.int32)
             x_in = jnp.concatenate([img, fea_t], axis=-1)
             eps = self._guided_eps(denoise, x_in, t, cond, cond_scale)
             x0 = self._maybe_threshold(self.predict_start_from_noise(img, t, eps))
             mean, log_var = self.q_posterior(x0, img, t)
-            noise = jax.random.normal(key, img.shape, img.dtype)
             nonzero = (t_scalar > 0).astype(img.dtype)
             img = mean + nonzero * jnp.exp(0.5 * log_var) * noise
             return img, None
 
-        img, _ = jax.lax.scan(step, img, (ts, keys))
+        img, _ = jax.lax.scan(step, img, (ts, noise_seq))
         return img
 
     # ---------------------------------------------------------------- DDIM
@@ -233,13 +241,19 @@ class GaussianDiffusion:
     def ddim_sample(
         self, denoise: DenoiseFn, rng: jax.Array, shape: tuple,
         fea: jnp.ndarray, cond=None, cond_scale: float = 1.0,
+        init_img: jnp.ndarray | None = None,
+        noise_seq: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """DDIM sampler as one `lax.scan` (video_flow_diffusion.py:778-830)."""
         b, f = shape[0], shape[1]
         eta = self.ddim_sampling_eta
         s = self.schedule
         key_init, key_loop = jax.random.split(rng)
-        img = jax.random.normal(key_init, shape, jnp.float32)
+        img = (
+            jax.random.normal(key_init, shape, jnp.float32)
+            if init_img is None
+            else init_img
+        )
         fea_t = self._tile_fea(fea, f)
 
         t_cur, t_next = self.ddim_times()
@@ -249,29 +263,37 @@ class GaussianDiffusion:
         sigma = eta * jnp.sqrt((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha))
         coef = jnp.sqrt(jnp.maximum((1 - alpha_next) - sigma**2, 0.0))
         keys = jax.random.split(key_loop, t_cur.shape[0])
+        if noise_seq is None:
+            noise_seq = jax.vmap(lambda k: jax.random.normal(k, shape, jnp.float32))(keys)
 
         def step(img, inp):
-            t_scalar, t_next_scalar, alpha_next_s, sigma_s, c_s, key = inp
+            t_scalar, t_next_scalar, alpha_next_s, sigma_s, c_s, noise = inp
             t = jnp.full((b,), t_scalar, jnp.int32)
             x_in = jnp.concatenate([img, fea_t], axis=-1)
             eps = self._guided_eps(denoise, x_in, t, cond, cond_scale)
             x0 = self._maybe_threshold(self.predict_start_from_noise(img, t, eps))
-            noise = jax.random.normal(key, img.shape, img.dtype)
             noise = jnp.where(t_next_scalar > 0, noise, 0.0)
             img = x0 * jnp.sqrt(alpha_next_s) + c_s * eps + sigma_s * noise
             return img, None
 
-        img, _ = jax.lax.scan(step, img, (t_cur, t_next, alpha_next, sigma, coef, keys))
+        img, _ = jax.lax.scan(
+            step, img, (t_cur, t_next, alpha_next, sigma, coef, noise_seq)
+        )
         return img
 
     def sample(
         self, denoise: DenoiseFn, rng: jax.Array, fea: jnp.ndarray,
         cond=None, cond_scale: float = 1.0, batch_size: int = 1,
         num_frames: int = 40, channels: int = 3, image_size: int = 32,
+        init_img: jnp.ndarray | None = None,
+        noise_seq: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """Dispatch DDPM vs DDIM (video_flow_diffusion.py:762-775)."""
         if cond is not None:
             batch_size = cond.shape[0]
         shape = (batch_size, num_frames, image_size, image_size, channels)
         fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop
-        return fn(denoise, rng, shape, fea, cond, cond_scale)
+        return fn(
+            denoise, rng, shape, fea, cond, cond_scale,
+            init_img=init_img, noise_seq=noise_seq,
+        )

@@ -208,14 +208,22 @@ class SpatialLinearAttention(nn.Module):
 
 
 class PreNormResidual(nn.Module):
-    """x + fn(LN(x)) (video_flow_diffusion.py:132-138, 182-190)."""
+    """x + attn(LN(x)) (video_flow_diffusion.py:132-138, 182-190).
+
+    Constructs the inner attention itself (child scope "attn") so parameters
+    nest under this wrapper's name.
+    """
 
     dim: int
-    fn: nn.Module
+    attn_cls: type
+    heads: int
+    dim_head: int
 
     @nn.compact
     def __call__(self, x, **kwargs):
-        return x + self.fn(ChannelLayerNorm(self.dim, name="norm")(x), **kwargs)
+        y = ChannelLayerNorm(self.dim, name="norm")(x)
+        y = self.attn_cls(self.dim, self.heads, self.dim_head, name="attn")(y, **kwargs)
+        return x + y
 
 
 def conv_2plus1d(features: int, k: int, name: str | None = None, padding_mode: str = "zeros"):
@@ -369,8 +377,7 @@ class Unet3D(nn.Module):
         x = conv_2plus1d(dim, 7, name="init_conv")(x)
         r = x
         x = PreNormResidual(
-            dim,
-            TemporalAttention(dim, heads, self.attn_dim_head, name="attn"),
+            dim, TemporalAttention, heads, self.attn_dim_head,
             name="init_temporal_attn",
         )(x, pos_bias=pos_bias)
 
@@ -403,14 +410,14 @@ class Unet3D(nn.Module):
             x = ResnetBlock(dim_out, self.resnet_groups, name=f"downs_{ind}_block1")(x, t)
             x = ResnetBlock(dim_out, self.resnet_groups, name=f"downs_{ind}_block2")(x, t)
             if self.use_sparse_linear_attn:
+                # reference quirk: linear attn dim_head is always the
+                # default 32 (video_flow_diffusion.py:464)
                 x = PreNormResidual(
-                    dim_out,
-                    SpatialLinearAttention(dim_out, heads, self.attn_dim_head, name="attn"),
+                    dim_out, SpatialLinearAttention, heads, 32,
                     name=f"downs_{ind}_spatial_attn",
                 )(x)
             x = PreNormResidual(
-                dim_out,
-                TemporalAttention(dim_out, heads, self.attn_dim_head, name="attn"),
+                dim_out, TemporalAttention, heads, self.attn_dim_head,
                 name=f"downs_{ind}_temporal_attn",
             )(x, pos_bias=pos_bias)
             hs.append(x)
@@ -419,14 +426,13 @@ class Unet3D(nn.Module):
 
         mid_dim = dims[-1]
         x = ResnetBlock(mid_dim, self.resnet_groups, name="mid_block1")(x, t)
+        # reference quirk: mid spatial attention always uses dim_head=32
+        # (Attention default not forwarded, video_flow_diffusion.py:473)
         x = PreNormResidual(
-            mid_dim,
-            SpatialAttention(mid_dim, heads, self.attn_dim_head, name="attn"),
-            name="mid_spatial_attn",
+            mid_dim, SpatialAttention, heads, 32, name="mid_spatial_attn"
         )(x)
         x = PreNormResidual(
-            mid_dim,
-            TemporalAttention(mid_dim, heads, self.attn_dim_head, name="attn"),
+            mid_dim, TemporalAttention, heads, self.attn_dim_head,
             name="mid_temporal_attn",
         )(x, pos_bias=pos_bias)
         x = ResnetBlock(mid_dim, self.resnet_groups, name="mid_block2")(x, t)
@@ -438,13 +444,11 @@ class Unet3D(nn.Module):
             x = ResnetBlock(dim_in, self.resnet_groups, name=f"ups_{ind}_block2")(x, t)
             if self.use_sparse_linear_attn:
                 x = PreNormResidual(
-                    dim_in,
-                    SpatialLinearAttention(dim_in, heads, self.attn_dim_head, name="attn"),
+                    dim_in, SpatialLinearAttention, heads, 32,
                     name=f"ups_{ind}_spatial_attn",
                 )(x)
             x = PreNormResidual(
-                dim_in,
-                TemporalAttention(dim_in, heads, self.attn_dim_head, name="attn"),
+                dim_in, TemporalAttention, heads, self.attn_dim_head,
                 name=f"ups_{ind}_temporal_attn",
             )(x, pos_bias=pos_bias)
             if not is_last:
@@ -452,11 +456,13 @@ class Unet3D(nn.Module):
                     dim_in, self.use_deconv, self.padding_mode, name=f"ups_{ind}_upsample"
                 )(x)
 
+        # two heads, each ResnetBlock(dim*2 -> dim) + 1x1x1 conv
+        # (video_flow_diffusion.py:493-509)
         x = jnp.concatenate([x, r], axis=-1)
-        grid = Block(dim, self.resnet_groups, name="final_block")(x)
+        grid = ResnetBlock(dim, self.resnet_groups, name="final_block")(x)
         grid = nn.Conv(self.out_grid_dim, (1, 1, 1), name="final_conv")(grid)
         if self.use_final_activation:
             grid = jnp.tanh(grid)
-        conf = Block(dim, self.resnet_groups, name="occlusion_block")(x)
+        conf = ResnetBlock(dim, self.resnet_groups, name="occlusion_block")(x)
         conf = nn.Conv(self.out_conf_dim, (1, 1, 1), name="occlusion_conv")(conf)
         return jnp.concatenate([grid, conf], axis=-1)

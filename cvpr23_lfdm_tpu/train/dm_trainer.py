@@ -1,0 +1,153 @@
+"""Unified DM trainer: one parameterized loop for MUG/MHAD/NATOPS.
+
+Replaces the reference's four ~430-line near-duplicate scripts
+(DM/train_video_flow_diffusion_{mug,mhad,natops,mhad_multiGPU}.py) with a
+single jit-compiled train step over a `data` mesh. The multi-GPU variant
+is not a separate code path: the same step runs on 1..N chips — batch
+sharded over the mesh, gradients all-reduced by XLA over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from cvpr23_lfdm_tpu.config import ExperimentConfig
+from cvpr23_lfdm_tpu.diffusion.flow_diffusion import FlowDiffusion
+from cvpr23_lfdm_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from cvpr23_lfdm_tpu.train.optim import multistep_adam
+
+
+class DMTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    unet_vars: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass
+class DMTrainer:
+    """Owns the FlowDiffusion model, optimizer, mesh, and compiled steps."""
+
+    cfg: ExperimentConfig
+    steps_per_epoch: int
+    lfae_vars: Any  # frozen stage-1 variables
+    mesh: Any = None
+
+    def __post_init__(self):
+        self.model = FlowDiffusion(self.cfg.lfae, self.cfg.diffusion)
+        self.tx = multistep_adam(
+            self.cfg.dm_train.lr,
+            self.cfg.dm_train.adam_betas,
+            self.cfg.dm_train.epoch_milestones,
+            self.steps_per_epoch,
+        )
+        if self.mesh is None:
+            self.mesh = make_mesh()
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._sample = jax.jit(
+            self._sample_impl, static_argnames=("cond_scale",)
+        )
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, rng: jax.Array) -> DMTrainState:
+        unet_vars = self.model.init_unet_vars(rng)
+        opt_state = self.tx.init(unet_vars["params"])
+        state = DMTrainState(
+            step=jnp.zeros((), jnp.int32), unet_vars=unet_vars, opt_state=opt_state
+        )
+        return replicate(state, self.mesh)
+
+    def place_lfae(self):
+        self.lfae_vars = replicate(self.lfae_vars, self.mesh)
+
+    # ------------------------------------------------------------------ step
+
+    def _train_step_impl(self, state: DMTrainState, lfae_vars, rng, batch):
+        """One optimization step (video_flow_diffusion_model.py:181-188:
+        backward on the diffusion loss only, `only_use_flow`)."""
+
+        def loss_fn(params):
+            unet_vars = {**state.unet_vars, "params": params}
+            loss, aux = self.model.loss(
+                unet_vars,
+                lfae_vars,
+                rng,
+                batch["ref_img"],
+                batch["real_vid"],
+                batch["cond"],
+                batch.get("none_cond_mask"),
+                with_monitoring=True,
+            )
+            return loss, aux
+
+        grads, aux = jax.grad(loss_fn, has_aux=True)(state.unet_vars["params"])
+        updates, opt_state = self.tx.update(grads, state.opt_state)
+        params = optax.apply_updates(state.unet_vars["params"], updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            unet_vars={**state.unet_vars, "params": params},
+            opt_state=opt_state,
+        )
+        metrics = {
+            "loss": aux["loss"],
+            "rec_loss": aux["rec_loss"],
+            "rec_warp_loss": aux["rec_warp_loss"],
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    def train_step(self, state: DMTrainState, rng, batch) -> tuple[DMTrainState, dict]:
+        batch = shard_batch(batch, self.mesh)
+        return self._train_step(state, self.lfae_vars, rng, batch)
+
+    # ------------------------------------------------------------------ sample
+
+    def _sample_impl(self, unet_vars, lfae_vars, rng, sample_img, cond, cond_scale=1.0):
+        return self.model.sample_video(
+            unet_vars, lfae_vars, rng, sample_img, cond, cond_scale
+        )
+
+    def sample_video(self, state: DMTrainState, rng, sample_img, cond, cond_scale=1.0):
+        return self._sample(
+            state.unet_vars, self.lfae_vars, rng, sample_img, cond,
+            cond_scale=cond_scale,
+        )
+
+    # ------------------------------------------------------------------ loop
+
+    def fit(
+        self,
+        state: DMTrainState,
+        batches: Iterator[dict],
+        num_steps: int,
+        rng: jax.Array,
+        log_every: int = 10,
+        checkpoint_fn=None,
+        checkpoint_every: int = 2000,
+    ) -> DMTrainState:
+        """Step-count-based loop (reference DM train scripts :213-390)."""
+        t0 = time.perf_counter()
+        for i in range(num_steps):
+            rng, step_rng = jax.random.split(rng)
+            batch = next(batches)
+            state, metrics = self.train_step(state, step_rng, batch)
+            if log_every and (i + 1) % log_every == 0:
+                m = jax.device_get(metrics)
+                dt = time.perf_counter() - t0
+                print(
+                    f"step {int(jax.device_get(state.step))}: "
+                    f"loss {m['loss']:.4f} rec {m['rec_loss']:.4f} "
+                    f"warp {m['rec_warp_loss']:.4f} ({dt / log_every:.3f}s/step)",
+                    flush=True,
+                )
+                t0 = time.perf_counter()
+            if checkpoint_fn and (i + 1) % checkpoint_every == 0:
+                checkpoint_fn(state)
+        return state

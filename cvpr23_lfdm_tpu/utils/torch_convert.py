@@ -156,3 +156,110 @@ def convert_lfae_checkpoint(ckpt: dict, cfg) -> dict:
             "generator": gen["batch_stats"],
         },
     }
+
+
+# --------------------------------------------------------------------- Unet3D
+
+
+def _conv3d_as2d_w(t):
+    """(1,k,k) Conv3d weight [O,I,1,k,k] -> 2D HWIO."""
+    return _np(t)[:, :, 0].transpose(2, 3, 1, 0)
+
+
+def _deconv3d_as2d_w(t):
+    """(1,4,4) ConvTranspose3d weight [I,O,1,4,4] -> flipped 2D HWIO."""
+    w = _np(t)[:, :, 0, ::-1, ::-1]
+    return np.ascontiguousarray(w.transpose(2, 3, 0, 1))
+
+
+def _convert_block(params, base, sd, prefix):
+    """Unet3D `Block` (proj conv + GroupNorm)."""
+    _set(params, base + ("proj", "conv", "kernel"), _conv3d_as2d_w(sd[prefix + ".proj.weight"]))
+    _set(params, base + ("proj", "conv", "bias"), _np(sd[prefix + ".proj.bias"]))
+    _set(params, base + ("norm", "scale"), _np(sd[prefix + ".norm.weight"]))
+    _set(params, base + ("norm", "bias"), _np(sd[prefix + ".norm.bias"]))
+
+
+def _convert_resnet_block(params, base, sd, prefix):
+    if prefix + ".mlp.1.weight" in sd:
+        _set(params, base + ("mlp", "kernel"), _linear_w(sd[prefix + ".mlp.1.weight"]))
+        _set(params, base + ("mlp", "bias"), _np(sd[prefix + ".mlp.1.bias"]))
+    _convert_block(params, base + ("block1",), sd, prefix + ".block1")
+    _convert_block(params, base + ("block2",), sd, prefix + ".block2")
+    if prefix + ".res_conv.weight" in sd:
+        _set(params, base + ("res_conv", "kernel"), _conv3d_w(sd[prefix + ".res_conv.weight"]))
+        _set(params, base + ("res_conv", "bias"), _np(sd[prefix + ".res_conv.bias"]))
+
+
+def _convert_prenorm_attn(params, base, sd, prefix, kind):
+    """Residual(PreNorm(dim, attn)) wrappers.
+
+    kind: 'temporal' (EinopsToAndFrom->Attention, linear qkv no bias),
+          'spatial' (same), 'linear' (SpatialLinearAttention, conv1x1 qkv).
+    """
+    _set(params, base + ("norm", "gamma"), _np(sd[prefix + ".fn.norm.gamma"]).reshape(-1))
+    inner = prefix + (".fn.fn.fn" if kind in ("temporal", "spatial") else ".fn.fn")
+    attn = base + ("attn",)
+    if kind == "linear":
+        # Conv2d 1x1 qkv/out
+        _set(params, attn + ("to_qkv", "kernel"), _np(sd[inner + ".to_qkv.weight"])[:, :, 0, 0].transpose(1, 0))
+        _set(params, attn + ("to_out", "kernel"), _np(sd[inner + ".to_out.weight"])[:, :, 0, 0].transpose(1, 0))
+        _set(params, attn + ("to_out", "bias"), _np(sd[inner + ".to_out.bias"]))
+    else:
+        _set(params, attn + ("to_qkv", "kernel"), _linear_w(sd[inner + ".to_qkv.weight"]))
+        _set(params, attn + ("to_out", "kernel"), _linear_w(sd[inner + ".to_out.weight"]))
+
+
+def convert_unet3d(sd, num_levels: int = 4, use_deconv: bool = True) -> dict:
+    """DM/modules/video_flow_diffusion.py Unet3D state_dict -> flax params."""
+    params = {}
+    _set(params, ("init_conv", "conv", "kernel"), _conv3d_as2d_w(sd["init_conv.weight"]))
+    _set(params, ("init_conv", "conv", "bias"), _np(sd["init_conv.bias"]))
+    _convert_prenorm_attn(params, ("init_temporal_attn",), sd, "init_temporal_attn", "temporal")
+    _set(
+        params,
+        ("time_rel_pos_bias", "relative_attention_bias", "embedding"),
+        _np(sd["time_rel_pos_bias.relative_attention_bias.weight"]),
+    )
+    _set(params, ("time_mlp_1", "kernel"), _linear_w(sd["time_mlp.1.weight"]))
+    _set(params, ("time_mlp_1", "bias"), _np(sd["time_mlp.1.bias"]))
+    _set(params, ("time_mlp_2", "kernel"), _linear_w(sd["time_mlp.3.weight"]))
+    _set(params, ("time_mlp_2", "bias"), _np(sd["time_mlp.3.bias"]))
+    if "null_cond_emb" in sd:
+        _set(params, ("null_cond_emb",), _np(sd["null_cond_emb"]).reshape(-1))
+
+    for i in range(num_levels):
+        _convert_resnet_block(params, (f"downs_{i}_block1",), sd, f"downs.{i}.0")
+        _convert_resnet_block(params, (f"downs_{i}_block2",), sd, f"downs.{i}.1")
+        _convert_prenorm_attn(params, (f"downs_{i}_spatial_attn",), sd, f"downs.{i}.2", "linear")
+        _convert_prenorm_attn(params, (f"downs_{i}_temporal_attn",), sd, f"downs.{i}.3", "temporal")
+        if f"downs.{i}.4.weight" in sd:
+            _set(params, (f"downs_{i}_downsample", "conv", "kernel"), _conv3d_as2d_w(sd[f"downs.{i}.4.weight"]))
+            _set(params, (f"downs_{i}_downsample", "conv", "bias"), _np(sd[f"downs.{i}.4.bias"]))
+
+    _convert_resnet_block(params, ("mid_block1",), sd, "mid_block1")
+    _convert_prenorm_attn(params, ("mid_spatial_attn",), sd, "mid_spatial_attn", "spatial")
+    _convert_prenorm_attn(params, ("mid_temporal_attn",), sd, "mid_temporal_attn", "temporal")
+    _convert_resnet_block(params, ("mid_block2",), sd, "mid_block2")
+
+    for i in range(num_levels):
+        _convert_resnet_block(params, (f"ups_{i}_block1",), sd, f"ups.{i}.0")
+        _convert_resnet_block(params, (f"ups_{i}_block2",), sd, f"ups.{i}.1")
+        _convert_prenorm_attn(params, (f"ups_{i}_spatial_attn",), sd, f"ups.{i}.2", "linear")
+        _convert_prenorm_attn(params, (f"ups_{i}_temporal_attn",), sd, f"ups.{i}.3", "temporal")
+        if use_deconv:
+            if f"ups.{i}.4.weight" in sd:
+                _set(params, (f"ups_{i}_upsample", "kernel"), _deconv3d_as2d_w(sd[f"ups.{i}.4.weight"]))
+                _set(params, (f"ups_{i}_upsample", "bias"), _np(sd[f"ups.{i}.4.bias"]))
+        else:
+            if f"ups.{i}.4.1.weight" in sd:
+                _set(params, (f"ups_{i}_upsample", "conv", "kernel"), _conv3d_as2d_w(sd[f"ups.{i}.4.1.weight"]))
+                _set(params, (f"ups_{i}_upsample", "conv", "bias"), _np(sd[f"ups.{i}.4.1.bias"]))
+
+    _convert_resnet_block(params, ("final_block",), sd, "final_conv.0")
+    _set(params, ("final_conv", "kernel"), _conv3d_w(sd["final_conv.1.weight"]))
+    _set(params, ("final_conv", "bias"), _np(sd["final_conv.1.bias"]))
+    _convert_resnet_block(params, ("occlusion_block",), sd, "occlusion_map.0")
+    _set(params, ("occlusion_conv", "kernel"), _conv3d_w(sd["occlusion_map.1.weight"]))
+    _set(params, ("occlusion_conv", "bias"), _np(sd["occlusion_map.1.bias"]))
+    return {"params": params}

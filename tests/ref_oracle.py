@@ -23,6 +23,69 @@ from tests.conftest import add_reference_to_path
 add_reference_to_path()
 
 
+def install_dm_stubs():
+    """Make reference DM modules importable on this image.
+
+    Missing deps get minimal functional stands-in implementing the public
+    semantics the reference relies on:
+    * `einops_exts.rearrange_many` — mapped `einops.rearrange`.
+    * `rotary_embedding_torch.RotaryEmbedding` — interleaved rotary
+      (lucidrains convention: pairwise (-x2, x1), theta 10000).
+    * `torchvision.transforms` — only referenced by gif helpers; inert stub.
+    Also no-ops `.cuda()` since the reference hard-codes it.
+    """
+    import sys
+    import types
+
+    import torch as _torch
+    from einops import rearrange as _rearrange
+
+    if "einops_exts" not in sys.modules:
+        ee = types.ModuleType("einops_exts")
+        ee.rearrange_many = lambda xs, *a, **k: [_rearrange(x, *a, **k) for x in xs]
+        sys.modules["einops_exts"] = ee
+
+    if "rotary_embedding_torch" not in sys.modules:
+        ret = types.ModuleType("rotary_embedding_torch")
+
+        class RotaryEmbedding:
+            def __init__(self, dim, theta=10000):
+                self.freqs = 1.0 / (
+                    theta ** (_torch.arange(0, dim, 2).float() / dim)
+                )
+
+            def rotate_queries_or_keys(self, t):
+                n = t.shape[-2]
+                angles = _torch.outer(_torch.arange(n).float(), self.freqs)
+                f = _torch.repeat_interleave(angles, 2, dim=-1)
+
+                def rot_half(x):
+                    x2 = x.reshape(*x.shape[:-1], -1, 2)
+                    a, b = x2.unbind(-1)
+                    return _torch.stack((-b, a), dim=-1).reshape(x.shape)
+
+                return t * f.cos() + rot_half(t) * f.sin()
+
+        ret.RotaryEmbedding = RotaryEmbedding
+        sys.modules["rotary_embedding_torch"] = ret
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tr = types.ModuleType("torchvision.transforms")
+        tr.ToPILImage = lambda *a, **k: (lambda x: x)
+        tr.ToTensor = lambda *a, **k: (lambda x: x)
+        tv.transforms = tr
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tr
+
+    if "tqdm" not in sys.modules:
+        tq = types.ModuleType("tqdm")
+        tq.tqdm = lambda it, *a, **k: it
+        sys.modules["tqdm"] = tq
+
+    _torch.Tensor.cuda = lambda self, *a, **k: self  # CPU-only image
+
+
 def numpy_eigh_2x2_aligned(c: np.ndarray):
     """Numpy mirror of cvpr23_lfdm_tpu.ops.eig2x2.eigh_2x2 (same convention)."""
     a = c[..., 0, 0]
