@@ -1,0 +1,88 @@
+"""Headline benchmark: 128x128, 40-frame, DDIM-10 video sampling (MUG demo path).
+
+Measures end-to-end serving latency of the flagship pipeline on one chip:
+ref-image encoder feature -> scan-compiled DDIM sampler (10 steps, the
+reference's "ddim" test config, DM/test_video_flow_diffusion_mug.py:28-33)
+-> frame-batched LFAE flow decode of all 40 frames. Prints ONE JSON line:
+
+  {"metric": "sampling_frames_per_sec_per_chip", "value": N,
+   "unit": "frames/s", "vs_baseline": R}
+
+`vs_baseline` is measured fps divided by BASELINE_FPS, a documented
+estimate of the PyTorch reference on its own V100-class hardware (the
+reference publishes no numbers — BASELINE.md; the paper's repo prints
+wall-clock only at run time). Estimate: 10 DDIM UNet3D evals at
+[1,259,40,32,32] plus 40 sequential LFAE generator decodes ~= 1.6 s
+-> ~25 frames/s. The driver-recorded target is >=5x an H100 per chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_FPS = 25.0  # estimated reference (torch, V100-class); see docstring
+NUM_FRAMES = 40
+IMG_SIZE = 128
+DDIM_STEPS = 10
+WARMUP = 2
+ITERS = 10
+
+
+def main() -> None:
+    from cvpr23_lfdm_tpu.config import mug_config
+    from cvpr23_lfdm_tpu.diffusion.flow_diffusion import FlowDiffusion
+    from cvpr23_lfdm_tpu.models.flow_autoenc import init_lfae_vars
+
+    import dataclasses
+
+    cfg = mug_config()
+    cfg = cfg.replace(
+        diffusion=dataclasses.replace(cfg.diffusion, sampling_timesteps=DDIM_STEPS)
+    )
+    model = FlowDiffusion(cfg.lfae, cfg.diffusion)
+
+    k_lfae, k_unet, k_img, k_cond, k_s = jax.random.split(jax.random.PRNGKey(0), 5)
+    lfae_vars = init_lfae_vars(k_lfae, cfg.lfae)
+    unet_vars = model.init_unet_vars(k_unet, batch=1)
+
+    ref_img = jax.random.uniform(k_img, (1, IMG_SIZE, IMG_SIZE, 3), jnp.float32)
+    cond = jax.random.normal(k_cond, (1, cfg.diffusion.cond_dim), jnp.float32)
+
+    @jax.jit
+    def sample(unet_vars, lfae_vars, rng, ref_img, cond):
+        return model.sample_video(
+            unet_vars, lfae_vars, rng, ref_img, cond, cond_scale=1.0
+        )
+
+    for _ in range(WARMUP):
+        out = sample(unet_vars, lfae_vars, k_s, ref_img, cond)
+        jax.block_until_ready(out)
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        out = sample(unet_vars, lfae_vars, k_s, ref_img, cond)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    times.sort()
+    median = times[len(times) // 2]
+    fps = NUM_FRAMES / median
+    print(
+        json.dumps(
+            {
+                "metric": "sampling_frames_per_sec_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -258,7 +258,8 @@ class FlowDiffusion:
         )
         t = jnp.zeros((batch,), jnp.int32)
         cond = jnp.zeros((batch, self.cfg.cond_dim), jnp.float32)
-        return self.unet.init(rng, x, t, cond)
+        # jit: eager init dispatches per-op, which is slow on tunneled devices
+        return jax.jit(lambda r: self.unet.init(r, x, t, cond))(rng)
 
     def _fea_channels(self) -> int:
         g = self.lfae_cfg.generator

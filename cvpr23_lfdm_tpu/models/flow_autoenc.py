@@ -54,6 +54,20 @@ def build_lfae_modules(cfg: LFAEConfig, axis_name: str | None = None):
     return region, bg, generator
 
 
+def init_lfae_vars(rng, cfg: LFAEConfig) -> dict:
+    """Random-init stage-1 variables in the combined layout used by
+    FlowDiffusion: {params|batch_stats: {region_predictor, bg_predictor,
+    generator}}. (Training runs warm-start or convert from the released
+    torch checkpoints instead — see utils/torch_convert.py.)"""
+    import jax
+
+    s = cfg.frame_shape
+    img = jnp.zeros((1, s, s, cfg.num_channels), jnp.float32)
+    # jit the init: eager tracing dispatches thousands of tiny ops, which is
+    # pathological over a remote-tunneled TPU device.
+    return jax.jit(lambda r: FlowAE(cfg).init(r, img, img, train=False))(rng)
+
+
 class FlowAE(nn.Module):
     """Composite stage-1 model. `ref`/`dri`: `[B, H, W, 3]` in [0, 1]."""
 
