@@ -1,0 +1,22 @@
+"""Data pipeline: specs, datasets, sampling, augmentation, loading."""
+
+from cvpr23_lfdm_tpu.data.augment import ClipAugment
+from cvpr23_lfdm_tpu.data.datasets import (
+    DatasetRepeater,
+    DMVideoDataset,
+    LFAEPairDataset,
+)
+from cvpr23_lfdm_tpu.data.loader import PrefetchLoader, collate
+from cvpr23_lfdm_tpu.data.specs import SPECS, DatasetSpec, get_spec
+
+__all__ = [
+    "ClipAugment",
+    "DatasetRepeater",
+    "DMVideoDataset",
+    "LFAEPairDataset",
+    "PrefetchLoader",
+    "collate",
+    "SPECS",
+    "DatasetSpec",
+    "get_spec",
+]

@@ -1,0 +1,160 @@
+"""Datasets: LFAE frame pairs and DM video clips over frame-folder corpora.
+
+Two parameterized classes replace the reference's per-dataset zoo
+(LFAE/{mug,mhad,natops}_dataset.py and the MUG/MHAD/NATOPS + _test/_gen/
+_select variants in DM/datasets_*.py). Mode selection:
+
+  DMVideoDataset(spec, root, split="train")  == MUG(...)
+  DMVideoDataset(..., split="test")          == MUG_test(...)
+  DMVideoDataset(..., combos=True)           == MUG_gen / MUG_gen_train
+  .find(subject, class_name)                 == MUG_select
+
+All outputs are channel-last float32 in [0, 1] ([F, H, W, 3] videos,
+[H, W, 3] frames) — the layout the TPU models consume directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cvpr23_lfdm_tpu.data.augment import ClipAugment, color_jitter_clip
+from cvpr23_lfdm_tpu.data.io import list_frames, pad_resize, read_image
+from cvpr23_lfdm_tpu.data.sampling import pair_indices, sample_indices
+from cvpr23_lfdm_tpu.data.specs import DatasetSpec, VideoEntry
+
+# DM color jitter strengths (DM/datasets_mug.py:94-97)
+DM_JITTER = dict(brightness=64.0 / 255, contrast=0.25, saturation=0.25, hue=0.04)
+
+
+def _split_entries(spec: DatasetSpec, root: str, split: str) -> list[VideoEntry]:
+    subjects = {
+        "train": spec.train_subjects,
+        "test": spec.test_subjects,
+        "all": tuple(spec.train_subjects) + tuple(spec.test_subjects),
+    }[split]
+    return spec.list_videos(root, subjects)
+
+
+def _read_clip(entry: VideoEntry, idx: np.ndarray, crop) -> np.ndarray:
+    paths = list_frames(entry.path)
+    frames = [read_image(paths[i]) for i in idx]
+    if crop is not None:
+        y0, y1, x0, x1 = crop
+        frames = [f[y0:y1, x0:x1] for f in frames]
+    return np.stack(frames).astype(np.float32) / 255.0
+
+
+class DMVideoDataset:
+    """Video clips for diffusion training/eval (DM/datasets_*.py).
+
+    `__getitem__` -> {video [F,H,W,3], text, name}. With `combos=True`,
+    indexes (subject x class) pairs and yields the first take of each combo
+    (the *_gen evaluation protocol, datasets_mug.py:203-323)."""
+
+    def __init__(
+        self,
+        spec: DatasetSpec,
+        root: str,
+        split: str = "train",
+        num_frames: int = 40,
+        image_size: int = 128,
+        color_jitter: bool = True,
+        sampling: str = "random",
+        combos: bool = False,
+        seed: int = 0,
+    ):
+        self.spec = spec
+        self.num_frames = num_frames
+        self.image_size = image_size
+        self.color_jitter = color_jitter
+        self.sampling = sampling
+        self.rng = np.random.default_rng(seed)
+        entries = _split_entries(spec, root, split)
+        if combos:
+            first = {}
+            for e in entries:
+                first.setdefault((e.subject, e.class_name), e)
+            entries = [first[k] for k in sorted(first)]
+        self.entries = entries
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def find(self, subject: str, class_name: str) -> int:
+        """*_select protocol (datasets_mug.py:450+): index by combo."""
+        for i, e in enumerate(self.entries):
+            if e.subject == str(subject) and e.class_name == class_name:
+                return i
+        raise KeyError((subject, class_name))
+
+    def __getitem__(self, index: int) -> dict:
+        e = self.entries[index]
+        total = len(list_frames(e.path))
+        idx = sample_indices(self.rng, total, self.num_frames, self.sampling)
+        clip = _read_clip(e, idx, self.spec.crop)
+        if self.color_jitter:
+            # reference jitters at native resolution, fixed B,C,S,H order
+            # (DM/datasets_mug.py:93-105), one draw per clip
+            clip = color_jitter_clip(
+                self.rng, clip, shuffle_order=False, **DM_JITTER
+            )
+        clip = np.stack([pad_resize(f, self.image_size) for f in clip])
+        return {
+            "video": clip.astype(np.float32),
+            "text": e.class_name,
+            "name": e.name,
+        }
+
+
+class LFAEPairDataset:
+    """Source/driving frame pairs for stage-1 training
+    (LFAE/mug_dataset.py:32-120): 2 sorted random frames, pad-resize,
+    clip augmentation (flips + jitter, config/mug128.yaml:28-36)."""
+
+    def __init__(
+        self,
+        spec: DatasetSpec,
+        root: str,
+        split: str = "train",
+        frame_shape: int = 128,
+        augment: ClipAugment | None = ClipAugment(),
+        seed: int = 0,
+    ):
+        self.spec = spec
+        self.frame_shape = frame_shape
+        self.augment = augment
+        self.rng = np.random.default_rng(seed)
+        self.entries = _split_entries(spec, root, split)
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __getitem__(self, index: int) -> dict:
+        e = self.entries[index]
+        paths = list_frames(e.path)
+        idx = pair_indices(self.rng, len(paths))
+        pair = []
+        for i in idx:
+            img = read_image(paths[i])
+            if self.spec.crop is not None:
+                y0, y1, x0, x1 = self.spec.crop
+                img = img[y0:y1, x0:x1]
+            pair.append(pad_resize(img, self.frame_shape))
+        clip = np.stack(pair).astype(np.float32) / 255.0
+        if self.augment is not None:
+            clip = self.augment(self.rng, clip)
+        return {"source": clip[0], "driving": clip[1], "name": e.name, "id": index}
+
+
+class DatasetRepeater:
+    """Epoch stretcher (LFAE/frames_dataset.py:178-190)."""
+
+    def __init__(self, dataset, num_repeats: int = 100):
+        self.dataset = dataset
+        self.num_repeats = num_repeats
+
+    def __len__(self) -> int:
+        return self.num_repeats * len(self.dataset)
+
+    def __getitem__(self, idx: int):
+        return self.dataset[idx % len(self.dataset)]

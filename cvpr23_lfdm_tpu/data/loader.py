@@ -1,0 +1,88 @@
+"""Threaded prefetching batch loader.
+
+TPU-native replacement for torch DataLoader worker processes
+(LFAE/train.py:60-63, DM train scripts :188-196): decode/augment happen in
+a thread pool (cv2/numpy release the GIL for the heavy parts) while the
+accelerator runs the previous step; batches are collated to stacked numpy
+arrays ready for `device_put` sharding.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+
+def collate(samples: list[dict]) -> dict:
+    """Stack array fields; gather non-arrays into lists."""
+    out = {}
+    for k in samples[0]:
+        v0 = samples[0][k]
+        if isinstance(v0, np.ndarray):
+            out[k] = np.stack([s[k] for s in samples])
+        else:
+            out[k] = [s[k] for s in samples]
+    return out
+
+
+class PrefetchLoader:
+    """Infinite shuffled batch iterator with background prefetch.
+
+    Shuffles an index permutation per epoch (seeded), maps `dataset[i]`
+    in `num_workers` threads, collates, and keeps up to `prefetch`
+    ready batches in a bounded queue.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 6,
+        prefetch: int = 4,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.drop_last = drop_last
+
+    def _index_stream(self):
+        rng = np.random.default_rng(self.seed)
+        n = len(self.dataset)
+        while True:
+            order = rng.permutation(n) if self.shuffle else np.arange(n)
+            end = n - n % self.batch_size if self.drop_last else n
+            for s in range(0, end, self.batch_size):
+                yield order[s : s + self.batch_size]
+
+    def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        batch_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for idx in self._index_stream():
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, idx))
+                    batch_q.put(collate(samples))
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                yield batch_q.get()
+        finally:
+            stop.set()
+
+    def steps_per_epoch(self) -> int:
+        return len(self.dataset) // self.batch_size

@@ -1,0 +1,222 @@
+"""Data pipeline tests: samplers, augmentation parity, datasets, loader."""
+
+import numpy as np
+import pytest
+
+from cvpr23_lfdm_tpu.data import (
+    ClipAugment,
+    DatasetRepeater,
+    DMVideoDataset,
+    LFAEPairDataset,
+    PrefetchLoader,
+    get_spec,
+)
+from cvpr23_lfdm_tpu.data.augment import (
+    adjust_brightness,
+    adjust_contrast,
+    adjust_hue,
+    adjust_saturation,
+)
+from cvpr23_lfdm_tpu.data.io import pad_resize
+from cvpr23_lfdm_tpu.data.sampling import (
+    random_indices,
+    sample_indices,
+    uniform_indices,
+    very_random_indices,
+)
+from cvpr23_lfdm_tpu.data.synthetic import make_synthetic_corpus
+
+
+# --------------------------------------------------------------- samplers
+
+
+def test_uniform_indices_matches_reference_linspace():
+    # datasets_mug.py:67-68
+    np.testing.assert_array_equal(
+        uniform_indices(100, 40), np.linspace(0, 99, 40, dtype=int)
+    )
+
+
+def test_random_indices_properties():
+    rng = np.random.default_rng(0)
+    for total in (40, 41, 100, 301):
+        idx = random_indices(rng, total, 40)
+        assert idx.shape == (40,)
+        assert idx[0] == 0 and idx[-1] == total - 1  # endpoints anchored
+        assert (np.diff(idx) >= 0).all()
+        assert (idx >= 0).all() and (idx < total).all()
+
+
+def test_very_random_indices_pins_frame0():
+    rng = np.random.default_rng(0)
+    idx = very_random_indices(rng, 55, 40)
+    assert idx[0] == 0
+    assert (np.diff(idx[1:]) >= 0).all()
+
+
+def test_short_video_edge_pads():
+    # datasets_mug.py:79-81
+    idx = sample_indices(np.random.default_rng(0), 7, 12, "uniform")
+    np.testing.assert_array_equal(idx, [0, 1, 2, 3, 4, 5, 6, 6, 6, 6, 6, 6])
+
+
+# --------------------------------------------------------- jitter parity
+
+
+@pytest.fixture(scope="module")
+def img():
+    rng = np.random.default_rng(42)
+    return rng.random((16, 16, 3)).astype(np.float32)
+
+
+def test_adjust_ops_identity_at_factor_1(img):
+    np.testing.assert_allclose(adjust_brightness(img, 1.0), img, atol=1e-6)
+    np.testing.assert_allclose(adjust_contrast(img, 1.0), img, atol=1e-6)
+    np.testing.assert_allclose(adjust_saturation(img, 1.0), img, atol=1e-6)
+    np.testing.assert_allclose(adjust_hue(img, 0.0), img, atol=1e-5)
+
+
+def test_adjust_ops_match_torchvision_semantics(img):
+    """Parity with torch reference math (float path)."""
+    import torch
+
+    t = torch.from_numpy(img).permute(2, 0, 1)  # CHW
+
+    def gray(x):
+        return (
+            0.299 * x[0] + 0.587 * x[1] + 0.114 * x[2]
+        ).unsqueeze(0)
+
+    # brightness: x * f
+    np.testing.assert_allclose(
+        adjust_brightness(img, 1.2),
+        (t * 1.2).clamp(0, 1).permute(1, 2, 0).numpy(),
+        atol=1e-6,
+    )
+    # contrast: blend with mean gray
+    f = 0.8
+    ref = (f * t + (1 - f) * gray(t).mean()).clamp(0, 1)
+    np.testing.assert_allclose(
+        adjust_contrast(img, f), ref.permute(1, 2, 0).numpy(), atol=1e-5
+    )
+    # saturation: blend with per-pixel gray
+    ref = (f * t + (1 - f) * gray(t)).clamp(0, 1)
+    np.testing.assert_allclose(
+        adjust_saturation(img, f), ref.permute(1, 2, 0).numpy(), atol=1e-5
+    )
+
+
+def test_adjust_hue_roundtrip(img):
+    out = adjust_hue(adjust_hue(img, 0.25), -0.25)
+    np.testing.assert_allclose(out, img, atol=1e-4)
+
+
+def test_clip_augment_shares_draw_across_frames():
+    rng = np.random.default_rng(3)
+    clip = np.tile(np.random.default_rng(1).random((1, 8, 8, 3)), (4, 1, 1, 1)).astype(
+        np.float32
+    )
+    out = ClipAugment(time_flip=False, horizontal_flip=False)(rng, clip)
+    # identical input frames must stay identical after a shared jitter draw
+    for f in range(1, 4):
+        np.testing.assert_allclose(out[f], out[0], atol=1e-6)
+
+
+# ------------------------------------------------------------ pad_resize
+
+
+def test_pad_resize_aspect_and_padding():
+    img = np.full((60, 120, 3), 200, np.uint8)
+    out = pad_resize(img, 128)
+    assert out.shape == (128, 128, 3)
+    # long side 120 -> 128; short side 60 -> 64, centered with 32px zero bands
+    assert (out[:32] == 0).all() and (out[-32:] == 0).all()
+    assert (out[40:80] > 0).all()
+
+
+# ------------------------------------------------------------- datasets
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory):
+    roots = {}
+    for ds in ("mug", "mhad", "natops"):
+        root = tmp_path_factory.mktemp(ds)
+        kwargs = {}
+        if ds == "natops":
+            # crop box is y[10:239] x[30:290]: need frames big enough
+            kwargs = dict(size=320)
+        make_synthetic_corpus(str(root), ds, num_frames=10, **kwargs)
+        roots[ds] = str(root)
+    return roots
+
+
+@pytest.mark.parametrize("ds", ["mug", "mhad", "natops"])
+def test_dm_video_dataset(corpora, ds):
+    spec = get_spec(ds)
+    data = DMVideoDataset(
+        spec, corpora[ds], split="train", num_frames=8, image_size=64,
+        sampling="very_random",
+    )
+    assert len(data) == 4  # 2 subjects x 2 classes x 1 take
+    item = data[0]
+    assert item["video"].shape == (8, 64, 64, 3)
+    assert item["video"].dtype == np.float32
+    assert 0.0 <= item["video"].min() and item["video"].max() <= 1.0
+    assert item["text"] in spec.classes
+
+
+def test_dm_dataset_combos_mode(corpora):
+    spec = get_spec("mug")
+    data = DMVideoDataset(
+        spec, corpora["mug"], split="train", combos=True, num_frames=4,
+        image_size=32, color_jitter=False, sampling="uniform",
+    )
+    combos = {(e.subject, e.class_name) for e in data.entries}
+    assert len(combos) == len(data.entries) == 4
+
+
+def test_lfae_pair_dataset(corpora):
+    spec = get_spec("mug")
+    data = LFAEPairDataset(spec, corpora["mug"], split="train", frame_shape=64)
+    item = data[1]
+    assert item["source"].shape == (64, 64, 3)
+    assert item["driving"].shape == (64, 64, 3)
+    assert item["source"].dtype == np.float32
+
+
+def test_mug_session_subject_layout(tmp_path):
+    make_synthetic_corpus(
+        str(tmp_path), "mug", subjects=["002", "008"],
+        classes=["anger"], num_frames=4,
+    )
+    spec = get_spec("mug")
+    entries = spec.list_videos(str(tmp_path), ["002", "008"])
+    names = sorted(e.name for e in entries)
+    assert names == ["002_session0_anger_take000", "008_anger_take000"]
+
+
+def test_natops_crop_applied(corpora):
+    spec = get_spec("natops")
+    data = DMVideoDataset(
+        spec, corpora["natops"], split="train", num_frames=2, image_size=64,
+        color_jitter=False, sampling="uniform",
+    )
+    item = data[0]  # crop (229 x 260) -> pad-resize keeps content
+    assert item["video"].shape == (2, 64, 64, 3)
+
+
+def test_loader_and_repeater(corpora):
+    spec = get_spec("mug")
+    data = DatasetRepeater(
+        LFAEPairDataset(spec, corpora["mug"], split="train", frame_shape=32),
+        num_repeats=3,
+    )
+    assert len(data) == 12
+    loader = PrefetchLoader(data, batch_size=4, num_workers=2, seed=0)
+    it = iter(loader)
+    batch = next(it)
+    assert batch["source"].shape == (4, 32, 32, 3)
+    assert len(batch["name"]) == 4
+    batch2 = next(it)
+    assert batch2["source"].shape == (4, 32, 32, 3)
