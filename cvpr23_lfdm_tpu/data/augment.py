@@ -28,7 +28,10 @@ def adjust_brightness(img: np.ndarray, f: float) -> np.ndarray:
 
 
 def adjust_contrast(img: np.ndarray, f: float) -> np.ndarray:
-    mean = (img @ _GRAY).mean()
+    # per-frame mean gray: the reference jitters frames individually
+    # (PIL images, DM/datasets_mug.py:102-105), so a clip [F, H, W, 3]
+    # blends each frame against its own mean
+    mean = (img @ _GRAY).mean(axis=(-2, -1), keepdims=True)[..., None]
     return np.clip(f * img + (1.0 - f) * mean, 0.0, 1.0)
 
 

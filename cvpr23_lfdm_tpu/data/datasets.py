@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from cvpr23_lfdm_tpu.data import native
 from cvpr23_lfdm_tpu.data.augment import ClipAugment, color_jitter_clip
 from cvpr23_lfdm_tpu.data.io import list_frames, pad_resize, read_image
 from cvpr23_lfdm_tpu.data.sampling import pair_indices, sample_indices
@@ -98,7 +99,7 @@ class DMVideoDataset:
             clip = color_jitter_clip(
                 self.rng, clip, shuffle_order=False, **DM_JITTER
             )
-        clip = np.stack([pad_resize(f, self.image_size) for f in clip])
+        clip = native.pad_resize_batch_f32(clip, self.image_size)
         return {
             "video": clip.astype(np.float32),
             "text": e.class_name,

@@ -37,9 +37,9 @@ MHAD_TRAIN_SUBJECTS = (1, 5, 2, 3)
 MHAD_TEST_SUBJECTS = (6, 8, 4, 7)
 
 NATOPS_TRAIN_SUBJECTS = (3, 4, 8, 9, 12, 13, 15, 17, 19, 20)
-NATOPS_TEST_SUBJECTS = tuple(
-    s for s in range(1, 21) if s not in NATOPS_TRAIN_SUBJECTS
-)
+# subject 1 is excluded from BOTH splits (datasets_natops.py:177,
+# preprocess_NATOPS.py:111-114 "remove 1")
+NATOPS_TEST_SUBJECTS = (2, 5, 6, 7, 10, 11, 14, 16, 18)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,126 @@
+"""LFAE self-reconstruction evaluation.
+
+Reference: LFAE/test_flowautoenc_{mug,mhad,natops}.py — reconstruct every
+frame of held-out videos from frame 0, accumulate summed L1 for the
+`prediction` and `deformed` outputs, report per-pixel losses normalized by
+`num_samples * H * W * 3` (test_flowautoenc_mug.py:208-215; note the
+reference does NOT divide by the frame count — kept for metric parity).
+
+TPU-native: the reference's per-frame host loop (:155-163) is one
+frame-batched jitted FlowAE call per video batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvpr23_lfdm_tpu.config import LFAEConfig
+from cvpr23_lfdm_tpu.models.flow_autoenc import FlowAE
+
+
+def make_reconstruct_fn(cfg: LFAEConfig):
+    """Jitted (lfae_vars, ref [B,H,W,3], vid [B,F,H,W,3]) -> outputs dict
+    with per-frame predictions, warps, flows and confidences."""
+    fae = FlowAE(cfg)
+
+    @jax.jit
+    def run(lfae_vars, ref_img, real_vid):
+        b, f = real_vid.shape[:2]
+        frames = real_vid.reshape((b * f,) + real_vid.shape[2:])
+        ref_rep = jnp.repeat(ref_img, f, axis=0)
+        out = fae.apply(lfae_vars, ref_rep, frames, False)
+
+        def unfold(x):
+            return x.reshape((b, f) + x.shape[1:])
+
+        return {
+            "prediction": unfold(out["prediction"]),
+            "deformed": unfold(out["deformed"]),
+            "optical_flow": unfold(out["optical_flow"]),
+            "occlusion_map": unfold(out["occlusion_map"]),
+        }
+
+    return run
+
+
+def evaluate(
+    lfae_vars: dict,
+    cfg: LFAEConfig,
+    dataset,
+    batch_size: int = 10,
+    num_batches: int | None = None,
+    save_video_dir: str | None = None,
+    image_size: int = 128,
+) -> dict:
+    """Run the eval over a DMVideoDataset (test split, uniform sampling,
+    no jitter) and return {"out_loss", "warp_loss"}."""
+    from cvpr23_lfdm_tpu.data.loader import PrefetchLoader
+    from cvpr23_lfdm_tpu.utils.viz import conf2fig, grid2fig, save_gif, to_uint8
+
+    run = make_reconstruct_fn(cfg)
+    loader = PrefetchLoader(
+        dataset, batch_size, shuffle=True, num_workers=4, drop_last=False
+    )
+    out_loss = warp_loss = 0.0
+    num_sample = 0
+    total = num_batches if num_batches is not None else max(
+        1, len(dataset) // batch_size
+    )
+    it = iter(loader)
+    cnt = 0
+    for _ in range(total):
+        batch = next(it)
+        vid = jnp.asarray(batch["video"])
+        ref = vid[:, 0]
+        out = jax.device_get(run(lfae_vars, ref, vid))
+        v = np.asarray(batch["video"])
+        out_loss += np.abs(v - out["prediction"]).sum()
+        warp_loss += np.abs(v - out["deformed"]).sum()
+        num_sample += v.shape[0]
+        if save_video_dir:
+            os.makedirs(save_video_dir, exist_ok=True)
+            for bi in range(v.shape[0]):
+                frames = []
+                for fi in range(v.shape[1]):
+                    row = np.concatenate(
+                        [
+                            to_uint8(v[bi, fi]),
+                            to_uint8(out["prediction"][bi, fi]),
+                            to_uint8(out["deformed"][bi, fi]),
+                            grid2fig(
+                                out["optical_flow"][bi, fi], img_size=image_size
+                            ),
+                            np.repeat(
+                                conf2fig(
+                                    out["occlusion_map"][bi, fi], image_size
+                                )[..., None],
+                                3,
+                                axis=-1,
+                            ),
+                        ],
+                        axis=1,
+                    )
+                    frames.append(row)
+                save_gif(
+                    os.path.join(
+                        save_video_dir, f"{cnt:04d}_{batch['name'][bi]}.gif"
+                    ),
+                    np.stack(frames),
+                )
+                cnt += 1
+
+    denom = num_sample * image_size * image_size * 3
+    return {
+        "out_loss": float(out_loss / denom),
+        "warp_loss": float(warp_loss / denom),
+    }
+
+
+def write_json(result: dict, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(result, f)

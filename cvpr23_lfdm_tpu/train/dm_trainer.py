@@ -53,6 +53,14 @@ class DMTrainer:
         self._sample = jax.jit(
             self._sample_impl, static_argnames=("cond_scale",)
         )
+        # monitoring forward: full aux dict incl. pseudo-GT and pred_x0
+        # reconstructions (the reference's periodic image/GIF dump inputs,
+        # DM train scripts :252-360)
+        self._monitor = jax.jit(
+            lambda uv, lv, rng, ref, vid, cond: self.model.loss(
+                uv, lv, rng, ref, vid, cond, with_monitoring=True
+            )[1]
+        )
 
     # ------------------------------------------------------------------ init
 
@@ -114,6 +122,14 @@ class DMTrainer:
             unet_vars, lfae_vars, rng, sample_img, cond, cond_scale
         )
 
+    def monitor(self, state: DMTrainState, rng, batch) -> dict:
+        """Run the monitoring forward on a (small) batch; returns aux with
+        real/fake videos, latent flows and confidences."""
+        return self._monitor(
+            state.unet_vars, self.lfae_vars, rng,
+            batch["ref_img"], batch["real_vid"], batch["cond"],
+        )
+
     def sample_video(self, state: DMTrainState, rng, sample_img, cond, cond_scale=1.0):
         return self._sample(
             state.unet_vars, self.lfae_vars, rng, sample_img, cond,
@@ -131,12 +147,17 @@ class DMTrainer:
         log_every: int = 10,
         checkpoint_fn=None,
         checkpoint_every: int = 2000,
+        viz_fn=None,
+        viz_every: int = 0,
     ) -> DMTrainState:
-        """Step-count-based loop (reference DM train scripts :213-390)."""
+        """Step-count-based loop (reference DM train scripts :213-390).
+        `viz_fn(state, batch, step)` hooks the periodic image/GIF dumps."""
         t0 = time.perf_counter()
         for i in range(num_steps):
             rng, step_rng = jax.random.split(rng)
             batch = next(batches)
+            if viz_fn and viz_every and (i + 1) % viz_every == 0:
+                viz_fn(state, batch, i + 1)
             state, metrics = self.train_step(state, step_rng, batch)
             if log_every and (i + 1) % log_every == 0:
                 m = jax.device_get(metrics)

@@ -82,6 +82,12 @@ class LFAETrainer:
         if self.mesh is None:
             self.mesh = make_mesh()
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        fae = FlowAE(self.cfg.lfae)
+        self._reconstruct = jax.jit(
+            lambda params, stats, src, dri: fae.apply(
+                {"params": params, "batch_stats": stats}, src, dri, False
+            )
+        )
 
     # ------------------------------------------------------------------ init
 
@@ -169,16 +175,7 @@ class LFAETrainer:
     def reconstruct(self, state: LFAETrainState, source, driving):
         """Self-reconstruction (FlowAE.forward, eval mode) — the
         test_flowautoenc metric path."""
-        fae = FlowAE(self.cfg.lfae)
-
-        @jax.jit
-        def run(params, batch_stats, source, driving):
-            return fae.apply(
-                {"params": params, "batch_stats": batch_stats},
-                source, driving, False,
-            )
-
-        return run(state.params, state.batch_stats, source, driving)
+        return self._reconstruct(state.params, state.batch_stats, source, driving)
 
     # ------------------------------------------------------------------ loop
 
@@ -191,11 +188,15 @@ class LFAETrainer:
         log_every: int = 10,
         checkpoint_fn=None,
         checkpoint_every: int = 5000,
+        viz_fn=None,
+        viz_every: int = 0,
     ) -> LFAETrainState:
         t0 = time.perf_counter()
         for i in range(num_steps):
             rng, step_rng = jax.random.split(rng)
             batch = next(batches)
+            if viz_fn and viz_every and (i + 1) % viz_every == 0:
+                viz_fn(state, batch, i + 1)
             state, metrics = self.train_step(state, step_rng, batch)
             if log_every and (i + 1) % log_every == 0:
                 m = jax.device_get(metrics)

@@ -1,0 +1,123 @@
+"""Demo / sampling entry point — the serving path.
+
+Replaces demo/demo_{mug,mhad,natops}.py: given one reference image, sample
+a 40-frame video for every class text and write GIFs (ref demo_mug.py:107-146:
+out video, warped video, flow lattice, confidence tiles).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from _common import base_parser, load_text_embedder, setup_platform
+
+
+def main() -> None:
+    p = base_parser("Sample videos from a reference image (demo)")
+    p.add_argument("--ref-image", default="", help="path to reference image")
+    p.add_argument("--lfae-ckpt", default="")
+    p.add_argument("--dm-ckpt", default="")
+    p.add_argument("--cond-scale", type=float, default=1.0)
+    p.add_argument("--sampling-steps", type=int, default=10, help="DDIM steps")
+    p.add_argument("--classes", nargs="*", default=None, help="subset of class texts")
+    args = p.parse_args()
+    setup_platform(args)
+
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from cvpr23_lfdm_tpu.config import PRESETS
+    from cvpr23_lfdm_tpu.data.io import pad_resize, read_image
+    from cvpr23_lfdm_tpu.diffusion.flow_diffusion import FlowDiffusion
+    from cvpr23_lfdm_tpu.models.flow_autoenc import init_lfae_vars
+    from cvpr23_lfdm_tpu.ops.grid import make_coordinate_grid
+    from cvpr23_lfdm_tpu.utils.checkpoint import (
+        CheckpointManager, load_lfae_from_torch, load_unet_from_torch,
+    )
+    from cvpr23_lfdm_tpu.utils.viz import conf2fig, flow2fig, save_gif, to_uint8
+
+    cfg = PRESETS[args.dataset]()
+    cfg = cfg.replace(
+        diffusion=dataclasses.replace(
+            cfg.diffusion, sampling_timesteps=args.sampling_steps
+        )
+    )
+    model = FlowDiffusion(cfg.lfae, cfg.diffusion)
+    size = cfg.lfae.frame_shape
+
+    if args.lfae_ckpt.endswith(".pth"):
+        lfae_vars = load_lfae_from_torch(args.lfae_ckpt, cfg.lfae)
+    elif args.lfae_ckpt:
+        state = CheckpointManager(args.lfae_ckpt).restore(None)
+        lfae_vars = {"params": state["params"], "batch_stats": state["batch_stats"]}
+    else:
+        print("warning: no --lfae-ckpt; RANDOM stage-1 weights (smoke mode)")
+        lfae_vars = init_lfae_vars(jax.random.PRNGKey(0), cfg.lfae)
+
+    if args.dm_ckpt.endswith(".pth"):
+        unet_vars = load_unet_from_torch(args.dm_ckpt, cfg.diffusion.use_deconv)
+    elif args.dm_ckpt:
+        state = CheckpointManager(args.dm_ckpt).restore(None)
+        unet_vars = state["unet_vars"]
+    else:
+        print("warning: no --dm-ckpt; RANDOM UNet weights (smoke mode)")
+        unet_vars = model.init_unet_vars(jax.random.PRNGKey(1))
+
+    if args.ref_image:
+        img = pad_resize(read_image(args.ref_image), size).astype(np.float32) / 255.0
+    else:
+        print("warning: no --ref-image; using a synthetic blob frame")
+        from cvpr23_lfdm_tpu.data.synthetic import _blob_video
+
+        img = (
+            _blob_video(np.random.default_rng(0), 1, size, (0.9, 0.6, 0.4))[0]
+            .astype(np.float32)
+            / 255.0
+        )
+    ref_img = jnp.asarray(img)[None]
+
+    embedder = load_text_embedder(args.dataset)
+    classes = args.classes or list(embedder.classes)
+
+    @jax.jit
+    def sample(unet_vars, lfae_vars, rng, ref_img, cond):
+        return model.sample_video(
+            unet_vars, lfae_vars, rng, ref_img, cond, args.cond_scale
+        )
+
+    out_dir = os.path.join(args.log_dir, "demo")
+    os.makedirs(out_dir, exist_ok=True)
+    h = cfg.diffusion.img_size
+    id_grid = np.asarray(make_coordinate_grid((h, h)))
+
+    rng = jax.random.PRNGKey(args.seed)
+    for text in classes:
+        cond, _ = embedder([text])
+        rng, srng = jax.random.split(rng)
+        out = jax.device_get(sample(unet_vars, lfae_vars, srng, ref_img, jnp.asarray(cond)))
+        frames = []
+        for fi in range(out["out_vid"].shape[1]):
+            row = np.concatenate(
+                [
+                    to_uint8(img),
+                    to_uint8(out["out_vid"][0, fi]),
+                    to_uint8(out["warped_vid"][0, fi]),
+                    flow2fig(out["vid_grid"][0, fi], id_grid, size),
+                    np.repeat(
+                        conf2fig(out["vid_conf"][0, fi], size)[..., None], 3, -1
+                    ),
+                ],
+                axis=1,
+            )
+            frames.append(row)
+        name = text.replace(" ", "_").replace("(", "").replace(")", "")
+        save_gif(os.path.join(out_dir, f"{name}.gif"), np.stack(frames))
+        print(f"sampled {text!r} -> {out_dir}/{name}.gif")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""DM held-out evaluation entry point.
+
+Replaces DM/test_video_flow_diffusion_{mug,mhad,natops}.py: for held-out
+subjects, run the pseudo-GT forward (reconstruction monitoring losses) and
+conditional sampling; write per-video GIFs (real/out/warp/sampled tiles).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from _common import base_parser, load_text_embedder, resolve_data_root, setup_platform
+
+
+def main() -> None:
+    p = base_parser("Evaluate the flow diffusion model on held-out subjects")
+    p.add_argument("--lfae-ckpt", default="")
+    p.add_argument("--dm-ckpt", default="")
+    p.add_argument("--cond-scale", type=float, default=1.0)
+    p.add_argument("--sampling-steps", type=int, default=10)
+    p.add_argument("--num-videos", type=int, default=4)
+    p.add_argument("--save-video", action="store_true")
+    args = p.parse_args()
+    setup_platform(args)
+
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from cvpr23_lfdm_tpu.config import PRESETS
+    from cvpr23_lfdm_tpu.data import DMVideoDataset, get_spec
+    from cvpr23_lfdm_tpu.diffusion.flow_diffusion import FlowDiffusion
+    from cvpr23_lfdm_tpu.models.flow_autoenc import init_lfae_vars
+    from cvpr23_lfdm_tpu.utils.checkpoint import (
+        CheckpointManager, load_lfae_from_torch, load_unet_from_torch,
+    )
+    from cvpr23_lfdm_tpu.utils.viz import save_gif, to_uint8
+
+    cfg = PRESETS[args.dataset]()
+    cfg = cfg.replace(
+        diffusion=dataclasses.replace(
+            cfg.diffusion, sampling_timesteps=args.sampling_steps
+        )
+    )
+    model = FlowDiffusion(cfg.lfae, cfg.diffusion)
+    root = resolve_data_root(args, cfg.lfae.frame_shape)
+
+    if args.lfae_ckpt.endswith(".pth"):
+        lfae_vars = load_lfae_from_torch(args.lfae_ckpt, cfg.lfae)
+    elif args.lfae_ckpt:
+        state = CheckpointManager(args.lfae_ckpt).restore(None)
+        lfae_vars = {"params": state["params"], "batch_stats": state["batch_stats"]}
+    else:
+        print("warning: no --lfae-ckpt; RANDOM stage-1 weights (smoke mode)")
+        lfae_vars = init_lfae_vars(jax.random.PRNGKey(0), cfg.lfae)
+
+    if args.dm_ckpt.endswith(".pth"):
+        unet_vars = load_unet_from_torch(args.dm_ckpt, cfg.diffusion.use_deconv)
+    elif args.dm_ckpt:
+        state = CheckpointManager(args.dm_ckpt).restore(None)
+        unet_vars = state["unet_vars"]
+    else:
+        print("warning: no --dm-ckpt; RANDOM UNet weights (smoke mode)")
+        unet_vars = model.init_unet_vars(jax.random.PRNGKey(1))
+
+    embedder = load_text_embedder(args.dataset)
+    dataset = DMVideoDataset(
+        get_spec(args.dataset), root, "test", combos=True,
+        num_frames=cfg.diffusion.num_frames, image_size=cfg.lfae.frame_shape,
+        color_jitter=False, sampling="uniform", seed=args.seed,
+    )
+
+    @jax.jit
+    def forward(unet_vars, lfae_vars, rng, ref, vid, cond):
+        return model.loss(unet_vars, lfae_vars, rng, ref, vid, cond)
+
+    @jax.jit
+    def sample(unet_vars, lfae_vars, rng, ref, cond):
+        return model.sample_video(
+            unet_vars, lfae_vars, rng, ref, cond, args.cond_scale
+        )
+
+    out_dir = os.path.join(args.log_dir, "dm_test")
+    os.makedirs(out_dir, exist_ok=True)
+    rng = jax.random.PRNGKey(args.seed)
+    rec_losses, warp_losses = [], []
+    n = min(args.num_videos, len(dataset))
+    for i in range(n):
+        item = dataset[i]
+        vid = jnp.asarray(item["video"])[None]
+        ref = vid[:, 0]
+        cond, _ = embedder([item["text"]])
+        cond = jnp.asarray(cond)
+        rng, k1, k2 = jax.random.split(rng, 3)
+        loss, aux = forward(unet_vars, lfae_vars, k1, ref, vid, cond)
+        out = jax.device_get(sample(unet_vars, lfae_vars, k2, ref, cond))
+        rec_losses.append(float(aux["rec_loss"]))
+        warp_losses.append(float(aux["rec_warp_loss"]))
+        print(
+            f"[{i + 1}/{n}] {item['name']}: loss {float(loss):.4f} "
+            f"rec {rec_losses[-1]:.4f} warp {warp_losses[-1]:.4f}"
+        )
+        if args.save_video:
+            real = np.asarray(item["video"])
+            fake = out["out_vid"][0]
+            rows = np.concatenate(
+                [to_uint8(real), to_uint8(fake)], axis=2
+            )  # [F, H, 2W, 3]
+            save_gif(os.path.join(out_dir, f"{item['name']}.gif"), rows)
+    print(
+        f"mean rec {np.mean(rec_losses):.4f} mean warp {np.mean(warp_losses):.4f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

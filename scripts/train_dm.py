@@ -1,0 +1,141 @@
+"""Stage-2 DM training entry point.
+
+One parameterized CLI replaces the reference's four near-duplicate ~430-line
+scripts (DM/train_video_flow_diffusion_{mug,mhad,natops,mhad_multiGPU}.py).
+Multi-chip is not a separate path: the jitted step shards the batch over
+the data mesh on however many devices exist.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from _common import base_parser, load_text_embedder, resolve_data_root, setup_platform
+
+
+def main() -> None:
+    p = base_parser("Train the flow diffusion model (stage 2)")
+    p.add_argument("--lfae-ckpt", default="", help="stage-1 ckpt (orbax dir or torch .pth)")
+    p.add_argument("--batch-size", type=int, default=0)
+    p.add_argument("--num-steps", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args()
+    setup_platform(args)
+
+    from cvpr23_lfdm_tpu.config import PRESETS
+    from cvpr23_lfdm_tpu.data import DMVideoDataset, PrefetchLoader, get_spec
+    from cvpr23_lfdm_tpu.models.flow_autoenc import init_lfae_vars
+    from cvpr23_lfdm_tpu.train.dm_trainer import DMTrainer
+    from cvpr23_lfdm_tpu.utils.checkpoint import (
+        CheckpointManager, load_lfae_from_torch,
+    )
+
+    cfg = PRESETS[args.dataset]()
+    tc = cfg.dm_train
+    batch_size = args.batch_size or tc.batch_size
+    root = resolve_data_root(args, cfg.lfae.frame_shape)
+    embedder = load_text_embedder(args.dataset)
+
+    dataset = DMVideoDataset(
+        get_spec(args.dataset), root, "train",
+        num_frames=cfg.diffusion.num_frames,
+        image_size=cfg.lfae.frame_shape,
+        sampling=tc.frame_sampling,
+        seed=args.seed,
+    )
+    steps_per_epoch = max(1, len(dataset) // batch_size)
+    num_steps = args.num_steps or steps_per_epoch * tc.max_epochs
+    loader = PrefetchLoader(dataset, batch_size, num_workers=8, seed=args.seed)
+
+    # frozen stage-1 weights
+    if args.lfae_ckpt.endswith(".pth"):
+        lfae_vars = load_lfae_from_torch(args.lfae_ckpt, cfg.lfae)
+    elif args.lfae_ckpt:
+        from cvpr23_lfdm_tpu.utils.checkpoint import CheckpointManager as CM
+
+        lfae_ckpt = CM(args.lfae_ckpt)
+        template = jax.device_get(
+            init_lfae_vars(jax.random.PRNGKey(0), cfg.lfae)
+        )
+        restored = lfae_ckpt.restore(
+            {"params": template["params"], "batch_stats": template["batch_stats"]}
+        )
+        lfae_vars = restored
+    else:
+        print("warning: no --lfae-ckpt; stage-1 weights are RANDOM (smoke mode)")
+        lfae_vars = init_lfae_vars(jax.random.PRNGKey(0), cfg.lfae)
+
+    trainer = DMTrainer(cfg, steps_per_epoch, lfae_vars)
+    trainer.place_lfae()
+    ckpt = CheckpointManager(os.path.join(args.log_dir, "dm_ckpt"))
+
+    rng = jax.random.PRNGKey(args.seed)
+    state = trainer.init_state(rng)
+    if args.resume and ckpt.has_latest():
+        state = ckpt.restore(jax.device_get(state))
+        print(f"resumed at step {int(state.step)}")
+
+    def batches():
+        for batch in loader:
+            cond, none_mask = embedder(batch["text"])
+            yield {
+                "ref_img": batch["video"][:, 0],
+                "real_vid": batch["video"],
+                "cond": cond,
+                "none_cond_mask": none_mask,
+            }
+
+    def checkpoint_fn(s):
+        ckpt.save(s, step=int(jax.device_get(s.step)))
+
+    from cvpr23_lfdm_tpu.ops.grid import make_coordinate_grid
+    from cvpr23_lfdm_tpu.utils.viz import (
+        conf2fig, flow2fig, save_image, tile_grid, to_uint8,
+    )
+
+    viz_dir = os.path.join(args.log_dir, "dm_imgs")
+    size = cfg.lfae.frame_shape
+    id_grid = np.asarray(make_coordinate_grid((cfg.diffusion.img_size,) * 2))
+
+    def viz_fn(cur_state, batch, step):
+        """5x2 training grid (reference DM train :252-280): src/tar,
+        real-out/real-warp, fake-out/fake-warp, flow/conf."""
+        small = {k: v[:1] for k, v in batch.items() if hasattr(v, "ndim")}
+        aux = jax.device_get(
+            trainer.monitor(cur_state, jax.random.PRNGKey(step), small)
+        )
+        mid = cfg.diffusion.num_frames // 2
+        rows = [
+            [to_uint8(small["ref_img"][0]), to_uint8(small["real_vid"][0, mid])],
+            [
+                to_uint8(aux["out_vid"][0, mid]),
+                to_uint8(aux["warped_vid"][0, mid]),
+            ],
+            [
+                to_uint8(aux["fake_out_vid"][0, mid]),
+                to_uint8(aux["fake_warped_vid"][0, mid]),
+            ],
+            [
+                flow2fig(aux["vid_grid"][0, mid], id_grid, size),
+                np.repeat(
+                    conf2fig(aux["vid_conf"][0, mid], size)[..., None], 3, -1
+                ),
+            ],
+        ]
+        os.makedirs(viz_dir, exist_ok=True)
+        save_image(os.path.join(viz_dir, f"step_{step:07d}.png"), tile_grid(rows))
+
+    state = trainer.fit(
+        state, batches(), num_steps, rng,
+        checkpoint_fn=checkpoint_fn, checkpoint_every=tc.update_ckpt_freq,
+        viz_fn=viz_fn, viz_every=tc.save_img_freq,
+    )
+    ckpt.save(state, step=int(jax.device_get(state.step)))
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Stage-1 LFAE training entry point.
+
+Replaces LFAE/run_{mug,mhad,natops}.py + LFAE/train.py with one CLI over
+the typed presets. Supports warm-start from a converted torch checkpoint
+(--warm-start, reference run_mug.py:68-70) and crash-resume from the
+rolling Orbax checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+from _common import base_parser, resolve_data_root, setup_platform
+
+
+def main() -> None:
+    p = base_parser("Train the LFAE (stage 1)")
+    p.add_argument("--batch-size", type=int, default=0, help="0 = preset")
+    p.add_argument("--num-steps", type=int, default=0, help="0 = preset epochs")
+    p.add_argument("--warm-start", default="", help="torch .pth to convert")
+    p.add_argument("--vgg-weights", default="", help="torchvision vgg19 .pth")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--save-img-freq", type=int, default=0)
+    args = p.parse_args()
+    setup_platform(args)
+
+    from cvpr23_lfdm_tpu.config import PRESETS
+    from cvpr23_lfdm_tpu.data import (
+        ClipAugment, DatasetRepeater, LFAEPairDataset, PrefetchLoader, get_spec,
+    )
+    from cvpr23_lfdm_tpu.train.lfae_trainer import LFAETrainer
+    from cvpr23_lfdm_tpu.train.vgg import Vgg19Features, convert_torchvision_vgg19
+    from cvpr23_lfdm_tpu.utils.checkpoint import CheckpointManager, load_lfae_from_torch
+    from cvpr23_lfdm_tpu.utils.viz import Visualizer, save_image
+
+    cfg = PRESETS[args.dataset]()
+    tc = cfg.lfae_train
+    batch_size = args.batch_size or tc.batch_size
+    root = resolve_data_root(args, cfg.lfae.frame_shape)
+
+    dataset = DatasetRepeater(
+        LFAEPairDataset(
+            get_spec(args.dataset), root, "train",
+            frame_shape=cfg.lfae.frame_shape, augment=ClipAugment(),
+            seed=args.seed,
+        ),
+        tc.num_repeats,
+    )
+    steps_per_epoch = max(1, len(dataset) // batch_size)
+    num_steps = args.num_steps or steps_per_epoch * tc.max_epochs
+    loader = PrefetchLoader(dataset, batch_size, num_workers=6, seed=args.seed)
+
+    import jax.numpy as jnp
+
+    if args.vgg_weights:
+        from cvpr23_lfdm_tpu.utils.checkpoint import load_torch_state_dicts
+
+        vgg_vars = convert_torchvision_vgg19(load_torch_state_dicts(args.vgg_weights))
+    else:
+        print("warning: no --vgg-weights; using random-projection perceptual features")
+        vgg_vars = jax.jit(
+            lambda r: Vgg19Features().init(
+                r, jnp.zeros((1, cfg.lfae.frame_shape, cfg.lfae.frame_shape, 3))
+            )
+        )(jax.random.PRNGKey(0))
+
+    trainer = LFAETrainer(cfg, steps_per_epoch, vgg_vars)
+    ckpt = CheckpointManager(os.path.join(args.log_dir, "lfae_ckpt"))
+
+    rng = jax.random.PRNGKey(args.seed)
+    if args.warm_start:
+        state = trainer.load_state(load_lfae_from_torch(args.warm_start, cfg.lfae))
+    else:
+        state = trainer.init_state(rng)
+    if args.resume and ckpt.has_latest():
+        state = ckpt.restore(jax.device_get(state))
+        print(f"resumed at step {int(state.step)}")
+
+    os.makedirs(args.log_dir, exist_ok=True)
+    viz_dir = os.path.join(args.log_dir, "lfae_imgs")
+    viz = Visualizer()
+
+    def checkpoint_fn(s):
+        ckpt.save(s, step=int(jax.device_get(s.step)))
+
+    save_img_freq = args.save_img_freq or tc.save_img_freq
+
+    def viz_fn(cur_state, batch, step):
+        out = trainer.reconstruct(
+            cur_state, batch["source"][:1], batch["driving"][:1]
+        )
+        os.makedirs(viz_dir, exist_ok=True)
+        save_image(
+            os.path.join(viz_dir, f"step_{step:07d}.png"),
+            viz.visualize(batch["source"], batch["driving"], out),
+        )
+
+    state = trainer.fit(
+        state, iter(loader), num_steps, rng,
+        checkpoint_fn=checkpoint_fn, checkpoint_every=tc.update_ckpt_freq,
+        viz_fn=viz_fn, viz_every=save_img_freq,
+    )
+    ckpt.save(state, step=int(jax.device_get(state.step)))
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cvpr23_lfdm_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+
+def test_mesh_helpers():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    mesh2 = make_mesh((4, 2), ("data", "model"))
+    assert mesh2.axis_names == ("data", "model")
+
+
+def test_sharded_batchnorm_equals_global_stats():
+    """The reference's SyncBN (sync_batchnorm/batchnorm.py:48-125) computes
+    GLOBAL batch statistics across replicas. Under pjit the same falls out
+    of sharded-batch reduction: stats from a jitted step over a
+    batch-sharded input must equal single-device stats."""
+    import flax.linen as nn
+
+    bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, 8, 8, 4)).astype(np.float32)
+    variables = bn.init(jax.random.PRNGKey(0), x, use_running_average=False)
+
+    def step(v, x):
+        out, mutated = bn.apply(
+            v, x, use_running_average=False, mutable=["batch_stats"]
+        )
+        return out, mutated["batch_stats"]
+
+    # single device
+    out_ref, stats_ref = jax.jit(step)(variables, x)
+
+    # 8-way batch-sharded
+    mesh = make_mesh()
+    xs = jax.device_put(x, batch_sharding(mesh))
+    vs = replicate(variables, mesh)
+    out_sh, stats_sh = jax.jit(step)(vs, xs)
+
+    np.testing.assert_allclose(
+        np.asarray(stats_sh["mean"]), np.asarray(stats_ref["mean"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats_sh["var"]), np.asarray(stats_ref["var"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sh), np.asarray(out_ref), atol=1e-4
+    )
+
+
+def test_sharded_grads_match_single_device():
+    """Data-parallel gradient all-reduce: grads of a mean loss over a
+    sharded batch equal single-device grads (the DataParallel gather +
+    mean path, multiGPU train :252-258)."""
+    w = jnp.ones((4, 4))
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((16, 4)).astype(np.float32)
+
+    def loss(w, x):
+        return jnp.mean((x @ w) ** 2)
+
+    g_ref = jax.jit(jax.grad(loss))(w, x)
+
+    mesh = make_mesh()
+    xs = jax.device_put(x, batch_sharding(mesh))
+    ws = jax.device_put(w, NamedSharding(mesh, P()))
+    g_sh = jax.jit(jax.grad(loss))(ws, xs)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref), atol=1e-5)
+
+
+def test_shard_batch_places_on_mesh():
+    mesh = make_mesh()
+    batch = {"a": np.zeros((8, 3), np.float32)}
+    sb = shard_batch(batch, mesh)
+    assert sb["a"].sharding.spec == P("data")
