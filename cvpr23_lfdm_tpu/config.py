@@ -121,6 +121,8 @@ class DiffusionConfig:
     use_deconv: bool = True  # False -> nearest-upsample + conv ("upconv")
     use_final_activation: bool = False
     use_residual_flow: bool = False
+    # mixed precision: UNet compute dtype (params/norms/softmax stay fp32)
+    compute_dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)

@@ -45,6 +45,8 @@ class PrefetchLoader:
         seed: int = 0,
         drop_last: bool = True,
     ):
+        if len(dataset) == 0:
+            raise ValueError("empty dataset (wrong split or data root?)")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle

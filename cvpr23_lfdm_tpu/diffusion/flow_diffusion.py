@@ -68,6 +68,7 @@ class FlowDiffusion:
                 learn_null_cond=self.cfg.learn_null_cond,
                 use_deconv=self.cfg.use_deconv,
                 use_final_activation=self.cfg.use_final_activation,
+                dtype=jnp.dtype(self.cfg.compute_dtype),
             ),
         )
         object.__setattr__(self, "diffusion", GaussianDiffusion.create(self.cfg))

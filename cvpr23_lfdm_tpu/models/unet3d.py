@@ -125,13 +125,14 @@ class TemporalAttention(nn.Module):
     dim: int
     heads: int = 8
     dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
     use_rotary: bool = True
 
     @nn.compact
     def __call__(self, x, pos_bias=None):
         b, f, h, w, c = x.shape
         hidden = self.heads * self.dim_head
-        qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(x)
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
         qkv = qkv.reshape(b, f, h * w, 3, self.heads, self.dim_head)
         # -> [B, HW, heads, F, d]
         qkv = qkv.transpose(3, 0, 2, 4, 1, 5)
@@ -140,6 +141,7 @@ class TemporalAttention(nn.Module):
         q = q * (self.dim_head**-0.5)
         if self.use_rotary:
             cos, sin = _rotary_freqs(min(32, self.dim_head), f)
+            cos, sin = cos.astype(q.dtype), sin.astype(q.dtype)
             q = apply_rotary(q, cos, sin)
             k = apply_rotary(k, cos, sin)
 
@@ -150,7 +152,7 @@ class TemporalAttention(nn.Module):
         attn = nn.softmax(sim, axis=-1).astype(v.dtype)
         out = jnp.einsum("bxhij,bxhjd->bxhid", attn, v)
         out = out.transpose(0, 3, 1, 2, 4).reshape(b, f, h, w, hidden)
-        return nn.Dense(self.dim, use_bias=False, name="to_out")(out)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)
 
 
 class SpatialAttention(nn.Module):
@@ -163,12 +165,13 @@ class SpatialAttention(nn.Module):
     dim: int
     heads: int = 8
     dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, f, h, w, c = x.shape
         hidden = self.heads * self.dim_head
-        qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(x)
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
         qkv = qkv.reshape(b, f, h * w, 3, self.heads, self.dim_head)
         qkv = qkv.transpose(3, 0, 1, 4, 2, 5)  # [3, B, F, heads, HW, d]
         q, k, v = qkv[0], qkv[1], qkv[2]
@@ -178,7 +181,7 @@ class SpatialAttention(nn.Module):
         attn = nn.softmax(sim, axis=-1).astype(v.dtype)
         out = jnp.einsum("bfhij,bfhjd->bfhid", attn, v)
         out = out.transpose(0, 1, 3, 2, 4).reshape(b, f, h, w, hidden)
-        return nn.Dense(self.dim, use_bias=False, name="to_out")(out)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)
 
 
 class SpatialLinearAttention(nn.Module):
@@ -188,12 +191,13 @@ class SpatialLinearAttention(nn.Module):
     dim: int
     heads: int = 8
     dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, f, h, w, c = x.shape
         hidden = self.heads * self.dim_head
-        qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(x)
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
         qkv = qkv.reshape(b, f, h * w, 3, self.heads, self.dim_head)
         qkv = qkv.transpose(3, 0, 1, 4, 2, 5)  # [3, B, F, heads, N, d]
         q, k, v = qkv[0], qkv[1], qkv[2]
@@ -204,7 +208,7 @@ class SpatialLinearAttention(nn.Module):
         out = jnp.einsum("bfhde,bfhnd->bfhne", context, q)
         out = out.reshape(b, f, self.heads, h, w, self.dim_head)
         out = out.transpose(0, 1, 3, 4, 2, 5).reshape(b, f, h, w, hidden)
-        return nn.Dense(self.dim, name="to_out")(out)
+        return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
 
 
 class PreNormResidual(nn.Module):
@@ -218,15 +222,19 @@ class PreNormResidual(nn.Module):
     attn_cls: type
     heads: int
     dim_head: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, **kwargs):
         y = ChannelLayerNorm(self.dim, name="norm")(x)
-        y = self.attn_cls(self.dim, self.heads, self.dim_head, name="attn")(y, **kwargs)
+        y = self.attn_cls(
+            self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn"
+        )(y, **kwargs)
         return x + y
 
 
-def conv_2plus1d(features: int, k: int, name: str | None = None, padding_mode: str = "zeros"):
+def conv_2plus1d(features: int, k: int, name: str | None = None,
+                 padding_mode: str = "zeros", dtype=jnp.float32):
     """(1, k, k) pseudo-3D conv as a frame-batched 2D conv wrapper."""
     pad = k // 2
 
@@ -237,9 +245,9 @@ def conv_2plus1d(features: int, k: int, name: str | None = None, padding_mode: s
             y = x.reshape(b * f, h, w, c)
             if padding_mode == "reflect" and pad > 0:
                 y = jnp.pad(y, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
-                y = nn.Conv(features, (k, k), padding="VALID", name="conv")(y)
+                y = nn.Conv(features, (k, k), padding="VALID", dtype=dtype, name="conv")(y)
             else:
-                y = nn.Conv(features, (k, k), padding=[(pad, pad), (pad, pad)], name="conv")(y)
+                y = nn.Conv(features, (k, k), padding=[(pad, pad), (pad, pad)], dtype=dtype, name="conv")(y)
             return y.reshape(b, f, h, w, features)
 
     return _Conv(name=name)
@@ -251,14 +259,18 @@ class Block(nn.Module):
 
     dim_out: int
     groups: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, scale_shift=None):
-        x = conv_2plus1d(self.dim_out, 3, name="proj")(x)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(x)
+        x = conv_2plus1d(self.dim_out, 3, name="proj", dtype=self.dtype)(x)
+        # GroupNorm statistics in fp32 (mixed-precision policy)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(
+            x.astype(jnp.float32)
+        ).astype(self.dtype)
         if scale_shift is not None:
             scale, shift = scale_shift
-            x = x * (scale + 1.0) + shift
+            x = x * (scale + 1.0).astype(self.dtype) + shift.astype(self.dtype)
         return nn.silu(x)
 
 
@@ -268,31 +280,35 @@ class ResnetBlock(nn.Module):
 
     dim_out: int
     groups: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, cond_emb=None):
         scale_shift = None
         if cond_emb is not None:
-            t = nn.Dense(self.dim_out * 2, name="mlp")(nn.silu(cond_emb))
+            t = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="mlp")(
+                nn.silu(cond_emb)
+            )
             t = t[:, None, None, None, :]  # broadcast over F,H,W
             scale_shift = jnp.split(t, 2, axis=-1)
-        h = Block(self.dim_out, self.groups, name="block1")(x, scale_shift)
-        h = Block(self.dim_out, self.groups, name="block2")(h)
+        h = Block(self.dim_out, self.groups, self.dtype, name="block1")(x, scale_shift)
+        h = Block(self.dim_out, self.groups, self.dtype, name="block2")(h)
         if x.shape[-1] != self.dim_out:
-            x = nn.Conv(self.dim_out, (1, 1, 1), name="res_conv")(x)
-        return h + x
+            x = nn.Conv(self.dim_out, (1, 1, 1), dtype=self.dtype, name="res_conv")(x)
+        return (h + x).astype(self.dtype)
 
 
 class Downsample(nn.Module):
     """(1,4,4)/(1,2,2) strided conv (video_flow_diffusion.py:166-167)."""
 
     dim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, f, h, w, c = x.shape
         y = x.reshape(b * f, h, w, c)
-        y = nn.Conv(self.dim, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)], name="conv")(y)
+        y = nn.Conv(self.dim, (4, 4), strides=(2, 2), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv")(y)
         return y.reshape(b, f, h // 2, w // 2, self.dim)
 
 
@@ -303,6 +319,7 @@ class Upsample(nn.Module):
     dim: int
     use_deconv: bool = True
     padding_mode: str = "reflect"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -322,17 +339,18 @@ class Upsample(nn.Module):
                 y.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
             )
             y = jax.lax.conv_general_dilated(
-                y, kernel, window_strides=(1, 1), padding=[(2, 2), (2, 2)],
+                y.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(1, 1), padding=[(2, 2), (2, 2)],
                 lhs_dilation=(2, 2), dimension_numbers=dn,
-            ) + bias
+            ) + bias.astype(self.dtype)
             return y.reshape(b, f, 2 * h, 2 * w, self.dim)
         else:
             y = jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)
             if self.padding_mode == "reflect":
                 y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
-                y = nn.Conv(self.dim, (3, 3), padding="VALID", name="conv")(y)
+                y = nn.Conv(self.dim, (3, 3), padding="VALID", dtype=self.dtype, name="conv")(y)
             else:
-                y = nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)], name="conv")(y)
+                y = nn.Conv(self.dim, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv")(y)
             return y.reshape(b, f, 2 * h, 2 * w, self.dim)
 
 
@@ -356,6 +374,7 @@ class Unet3D(nn.Module):
     use_deconv: bool = True
     padding_mode: str = "zeros"
     use_final_activation: bool = False
+    dtype: jnp.dtype = jnp.float32  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x, time, cond=None, null_cond_mask=None):
@@ -369,15 +388,16 @@ class Unet3D(nn.Module):
         b, f, h, w, _ = x.shape
         dim = self.dim
         heads = self.attn_heads
+        x = x.astype(self.dtype)
 
         pos_bias = RelativePositionBias(
             heads=heads, max_distance=32, name="time_rel_pos_bias"
         )(f)
 
-        x = conv_2plus1d(dim, 7, name="init_conv")(x)
+        x = conv_2plus1d(dim, 7, name="init_conv", dtype=self.dtype)(x)
         r = x
         x = PreNormResidual(
-            dim, TemporalAttention, heads, self.attn_dim_head,
+            dim, TemporalAttention, heads, self.attn_dim_head, self.dtype,
             name="init_temporal_attn",
         )(x, pos_bias=pos_bias)
 
@@ -386,7 +406,7 @@ class Unet3D(nn.Module):
         t = sinusoidal_pos_emb(time, dim)
         t = nn.Dense(time_dim, name="time_mlp_1")(t)
         t = nn.gelu(t, approximate=False)
-        t = nn.Dense(time_dim, name="time_mlp_2")(t)
+        t = nn.Dense(time_dim, name="time_mlp_2")(t)  # cond MLP stays fp32
 
         if cond is not None:
             if self.learn_null_cond:
@@ -407,62 +427,65 @@ class Unet3D(nn.Module):
         hs = []
         for ind, (_, dim_out) in enumerate(in_out):
             is_last = ind >= n_levels - 1
-            x = ResnetBlock(dim_out, self.resnet_groups, name=f"downs_{ind}_block1")(x, t)
-            x = ResnetBlock(dim_out, self.resnet_groups, name=f"downs_{ind}_block2")(x, t)
+            x = ResnetBlock(dim_out, self.resnet_groups, self.dtype, name=f"downs_{ind}_block1")(x, t)
+            x = ResnetBlock(dim_out, self.resnet_groups, self.dtype, name=f"downs_{ind}_block2")(x, t)
             if self.use_sparse_linear_attn:
                 # reference quirk: linear attn dim_head is always the
                 # default 32 (video_flow_diffusion.py:464)
                 x = PreNormResidual(
-                    dim_out, SpatialLinearAttention, heads, 32,
+                    dim_out, SpatialLinearAttention, heads, 32, self.dtype,
                     name=f"downs_{ind}_spatial_attn",
                 )(x)
             x = PreNormResidual(
-                dim_out, TemporalAttention, heads, self.attn_dim_head,
+                dim_out, TemporalAttention, heads, self.attn_dim_head, self.dtype,
                 name=f"downs_{ind}_temporal_attn",
             )(x, pos_bias=pos_bias)
             hs.append(x)
             if not is_last:
-                x = Downsample(dim_out, name=f"downs_{ind}_downsample")(x)
+                x = Downsample(dim_out, self.dtype, name=f"downs_{ind}_downsample")(x)
 
         mid_dim = dims[-1]
-        x = ResnetBlock(mid_dim, self.resnet_groups, name="mid_block1")(x, t)
+        x = ResnetBlock(mid_dim, self.resnet_groups, self.dtype, name="mid_block1")(x, t)
         # reference quirk: mid spatial attention always uses dim_head=32
         # (Attention default not forwarded, video_flow_diffusion.py:473)
         x = PreNormResidual(
-            mid_dim, SpatialAttention, heads, 32, name="mid_spatial_attn"
+            mid_dim, SpatialAttention, heads, 32, self.dtype,
+            name="mid_spatial_attn",
         )(x)
         x = PreNormResidual(
-            mid_dim, TemporalAttention, heads, self.attn_dim_head,
+            mid_dim, TemporalAttention, heads, self.attn_dim_head, self.dtype,
             name="mid_temporal_attn",
         )(x, pos_bias=pos_bias)
-        x = ResnetBlock(mid_dim, self.resnet_groups, name="mid_block2")(x, t)
+        x = ResnetBlock(mid_dim, self.resnet_groups, self.dtype, name="mid_block2")(x, t)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind >= n_levels - 1
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResnetBlock(dim_in, self.resnet_groups, name=f"ups_{ind}_block1")(x, t)
-            x = ResnetBlock(dim_in, self.resnet_groups, name=f"ups_{ind}_block2")(x, t)
+            x = ResnetBlock(dim_in, self.resnet_groups, self.dtype, name=f"ups_{ind}_block1")(x, t)
+            x = ResnetBlock(dim_in, self.resnet_groups, self.dtype, name=f"ups_{ind}_block2")(x, t)
             if self.use_sparse_linear_attn:
                 x = PreNormResidual(
-                    dim_in, SpatialLinearAttention, heads, 32,
+                    dim_in, SpatialLinearAttention, heads, 32, self.dtype,
                     name=f"ups_{ind}_spatial_attn",
                 )(x)
             x = PreNormResidual(
-                dim_in, TemporalAttention, heads, self.attn_dim_head,
+                dim_in, TemporalAttention, heads, self.attn_dim_head, self.dtype,
                 name=f"ups_{ind}_temporal_attn",
             )(x, pos_bias=pos_bias)
             if not is_last:
                 x = Upsample(
-                    dim_in, self.use_deconv, self.padding_mode, name=f"ups_{ind}_upsample"
+                    dim_in, self.use_deconv, self.padding_mode, self.dtype,
+                    name=f"ups_{ind}_upsample",
                 )(x)
 
         # two heads, each ResnetBlock(dim*2 -> dim) + 1x1x1 conv
         # (video_flow_diffusion.py:493-509)
         x = jnp.concatenate([x, r], axis=-1)
-        grid = ResnetBlock(dim, self.resnet_groups, name="final_block")(x)
+        grid = ResnetBlock(dim, self.resnet_groups, self.dtype, name="final_block")(x)
         grid = nn.Conv(self.out_grid_dim, (1, 1, 1), name="final_conv")(grid)
         if self.use_final_activation:
             grid = jnp.tanh(grid)
-        conf = ResnetBlock(dim, self.resnet_groups, name="occlusion_block")(x)
+        conf = ResnetBlock(dim, self.resnet_groups, self.dtype, name="occlusion_block")(x)
         conf = nn.Conv(self.out_conf_dim, (1, 1, 1), name="occlusion_conv")(conf)
-        return jnp.concatenate([grid, conf], axis=-1)
+        # eps prediction back in fp32 (heads' convs default to fp32 compute)
+        return jnp.concatenate([grid, conf], axis=-1).astype(jnp.float32)

@@ -39,12 +39,17 @@ def resolve_data_root(args, image_size: int = 128) -> str:
             import tempfile
 
             root = tempfile.mkdtemp(prefix=f"{args.dataset}_synth_")
-        if not os.listdir(root) if os.path.isdir(root) else True:
+        if (not os.listdir(root)) if os.path.isdir(root) else True:
             os.makedirs(root, exist_ok=True)
             size = max(image_size, 320 if args.dataset == "natops" else image_size)
+            from cvpr23_lfdm_tpu.data.specs import get_spec
+
+            spec = get_spec(args.dataset)
+            # cover BOTH splits so train and eval entry points work
+            subjects = list(spec.train_subjects[:2]) + list(spec.test_subjects[:2])
             make_synthetic_corpus(
                 root, args.dataset, num_frames=16, size=size, seed=args.seed,
-                subjects=None, classes=None, takes=2,
+                subjects=subjects, classes=None, takes=2,
             )
         print(f"synthetic corpus at {root}")
     if not root:

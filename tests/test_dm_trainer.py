@@ -1,0 +1,66 @@
+"""DM trainer: end-to-end train steps + sampling on the CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _setup():
+    from __graft_entry__ import _tiny_config
+    from cvpr23_lfdm_tpu.models.flow_autoenc import init_lfae_vars
+    from cvpr23_lfdm_tpu.train.dm_trainer import DMTrainer
+
+    cfg = _tiny_config(num_frames=4)
+    lfae_vars = init_lfae_vars(jax.random.PRNGKey(0), cfg.lfae)
+    trainer = DMTrainer(cfg, steps_per_epoch=10, lfae_vars=lfae_vars)
+    trainer.place_lfae()
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    return cfg, trainer, state
+
+
+def _batch(cfg, bs=8):
+    rng = np.random.default_rng(0)
+    size = cfg.lfae.frame_shape
+    f = cfg.diffusion.num_frames
+    vid = rng.random((bs, f, size, size, 3), np.float32)
+    return {
+        "ref_img": vid[:, 0],
+        "real_vid": vid,
+        "cond": rng.standard_normal((bs, cfg.diffusion.cond_dim)).astype(np.float32),
+        "none_cond_mask": np.zeros((bs,), bool),
+    }
+
+
+def test_dm_train_and_sample():
+    cfg, trainer, state = _setup()
+    batch = _batch(cfg)
+    params_before = jax.device_get(
+        jax.tree_util.tree_leaves(state.unet_vars["params"])[0]
+    )
+    state, metrics = trainer.train_step(state, jax.random.PRNGKey(2), batch)
+    state, metrics = trainer.train_step(state, jax.random.PRNGKey(3), batch)
+    m = jax.device_get(metrics)
+    assert np.isfinite(m["loss"]) and np.isfinite(m["rec_loss"])
+    assert int(jax.device_get(state.step)) == 2
+    params_after = jax.device_get(
+        jax.tree_util.tree_leaves(state.unet_vars["params"])[0]
+    )
+    assert not np.allclose(params_before, params_after)
+
+    # monitoring forward
+    aux = jax.device_get(
+        trainer.monitor(state, jax.random.PRNGKey(4), {k: v[:1] for k, v in batch.items()})
+    )
+    assert aux["fake_out_vid"].shape == (1, 4, 64, 64, 3)
+
+    # sampling (tiny DDPM: 50 steps at 16^2)
+    out = jax.device_get(
+        trainer.sample_video(
+            state, jax.random.PRNGKey(5),
+            jnp.asarray(batch["ref_img"][:1]), jnp.asarray(batch["cond"][:1]),
+            cond_scale=2.0,  # exercises the batched CFG path
+        )
+    )
+    assert out["out_vid"].shape == (1, 4, 64, 64, 3)
+    assert np.isfinite(out["out_vid"]).all()
+    assert out["vid_conf"].min() >= 0.0 and out["vid_conf"].max() <= 1.0
