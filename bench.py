@@ -41,7 +41,9 @@ def main() -> None:
 
     cfg = mug_config()
     cfg = cfg.replace(
-        diffusion=dataclasses.replace(cfg.diffusion, sampling_timesteps=DDIM_STEPS)
+        diffusion=dataclasses.replace(cfg.diffusion, sampling_timesteps=DDIM_STEPS),
+        # serving precision: bf16 conv/matmul compute, fp32 params+norms
+        lfae=dataclasses.replace(cfg.lfae, compute_dtype="bfloat16"),
     )
     model = FlowDiffusion(cfg.lfae, cfg.diffusion)
 

@@ -71,6 +71,9 @@ class LFAEConfig:
     num_regions: int = 10
     revert_axis_swap: bool = True
     frame_shape: int = 128
+    # generator conv compute dtype ("bfloat16" for serving; fp32 keeps
+    # bit-parity with the torch reference)
+    compute_dtype: str = "float32"
     region_predictor: RegionPredictorConfig = field(default_factory=RegionPredictorConfig)
     bg_predictor: BGPredictorConfig = field(default_factory=BGPredictorConfig)
     generator: GeneratorConfig = field(default_factory=GeneratorConfig)

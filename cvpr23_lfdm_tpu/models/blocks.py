@@ -33,12 +33,13 @@ def batch_norm(axis_name: str | None = None, name: str | None = None) -> nn.Batc
     )
 
 
-def conv2d(features: int, kernel_size: int | tuple[int, int], name: str | None = None):
+def conv2d(features: int, kernel_size: int | tuple[int, int], name: str | None = None,
+           dtype=None):
     """Torch-default Conv2d: symmetric zero pad (k//2 when odd), with bias."""
     if isinstance(kernel_size, int):
         kernel_size = (kernel_size, kernel_size)
     pad = [(k // 2, k // 2) for k in kernel_size]
-    return nn.Conv(features, kernel_size, padding=pad, name=name)
+    return nn.Conv(features, kernel_size, padding=pad, dtype=dtype, name=name)
 
 
 class SameBlock2d(nn.Module):
@@ -47,12 +48,13 @@ class SameBlock2d(nn.Module):
     features: int
     kernel_size: int = 3
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = conv2d(self.features, self.kernel_size, name="conv")(x)
+        x = conv2d(self.features, self.kernel_size, name="conv", dtype=self.dtype)(x)
         x = batch_norm(self.axis_name, name="norm")(x, use_running_average=not train)
-        return nn.relu(x)
+        return nn.relu(x).astype(self.dtype or x.dtype)
 
 
 class DownBlock2d(nn.Module):
@@ -61,12 +63,13 @@ class DownBlock2d(nn.Module):
     features: int
     kernel_size: int = 3
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = conv2d(self.features, self.kernel_size, name="conv")(x)
+        x = conv2d(self.features, self.kernel_size, name="conv", dtype=self.dtype)(x)
         x = batch_norm(self.axis_name, name="norm")(x, use_running_average=not train)
-        x = nn.relu(x)
+        x = nn.relu(x).astype(self.dtype or x.dtype)
         return avg_pool_2x2(x)
 
 
@@ -76,13 +79,14 @@ class UpBlock2d(nn.Module):
     features: int
     kernel_size: int = 3
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = upsample_nearest_2x(x)
-        x = conv2d(self.features, self.kernel_size, name="conv")(x)
+        x = conv2d(self.features, self.kernel_size, name="conv", dtype=self.dtype)(x)
         x = batch_norm(self.axis_name, name="norm")(x, use_running_average=not train)
-        return nn.relu(x)
+        return nn.relu(x).astype(self.dtype or x.dtype)
 
 
 class ResBlock2d(nn.Module):
@@ -91,16 +95,17 @@ class ResBlock2d(nn.Module):
     features: int
     kernel_size: int = 3
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out = batch_norm(self.axis_name, name="norm1")(x, use_running_average=not train)
         out = nn.relu(out)
-        out = conv2d(self.features, self.kernel_size, name="conv1")(out)
+        out = conv2d(self.features, self.kernel_size, name="conv1", dtype=self.dtype)(out)
         out = batch_norm(self.axis_name, name="norm2")(out, use_running_average=not train)
         out = nn.relu(out)
-        out = conv2d(self.features, self.kernel_size, name="conv2")(out)
-        return out + x
+        out = conv2d(self.features, self.kernel_size, name="conv2", dtype=self.dtype)(out)
+        return (out + x).astype(self.dtype or x.dtype)
 
 
 def _encoder_channels(block_expansion: int, num_blocks: int, max_features: int) -> list[int]:

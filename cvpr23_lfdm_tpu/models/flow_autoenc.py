@@ -40,6 +40,7 @@ def build_lfae_modules(cfg: LFAEConfig, axis_name: str | None = None):
 
     pf = dataclasses.asdict(cfg.generator.pixelwise_flow)
     generator = Generator(
+        dtype=jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype != "float32" else None,
         num_channels=cfg.num_channels,
         num_regions=cfg.num_regions,
         block_expansion=cfg.generator.block_expansion,

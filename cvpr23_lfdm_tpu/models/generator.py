@@ -39,6 +39,7 @@ class Generator(nn.Module):
     revert_axis_swap: bool = True
     pixelwise_flow_predictor_params: dict | None = None
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None  # conv compute dtype (bf16 for serving)
 
     def setup(self):
         if self.pixelwise_flow_predictor_params is not None:
@@ -52,12 +53,13 @@ class Generator(nn.Module):
         else:
             self.pixelwise_flow_predictor = None
 
-        self.first = SameBlock2d(self.block_expansion, 7, axis_name=self.axis_name)
+        self.first = SameBlock2d(self.block_expansion, 7, axis_name=self.axis_name, dtype=self.dtype)
         self.down_blocks = [
             DownBlock2d(
                 min(self.max_features, self.block_expansion * (2 ** (i + 1))),
                 3,
                 axis_name=self.axis_name,
+                dtype=self.dtype,
                 name=f"down_blocks_{i}",
             )
             for i in range(self.num_down_blocks)
@@ -70,6 +72,7 @@ class Generator(nn.Module):
                 ),
                 3,
                 axis_name=self.axis_name,
+                dtype=self.dtype,
                 name=f"up_blocks_{i}",
             )
             for i in range(self.num_down_blocks)
@@ -78,7 +81,7 @@ class Generator(nn.Module):
             self.max_features, self.block_expansion * (2**self.num_down_blocks)
         )
         self.bottleneck = [
-            ResBlock2d(bottleneck_ch, 3, axis_name=self.axis_name, name=f"bottleneck_r{i}")
+            ResBlock2d(bottleneck_ch, 3, axis_name=self.axis_name, dtype=self.dtype, name=f"bottleneck_r{i}")
             for i in range(self.num_bottleneck_blocks)
         ]
         self.final = nn.Conv(
@@ -113,7 +116,7 @@ class Generator(nn.Module):
             out = blk(out, train)
         if self.skips and has_flow:
             out = warp_with_occlusion(skip_feats[0], flow, occlusion, previous=out)
-        out = nn.sigmoid(self.final(out))
+        out = nn.sigmoid(self.final(out.astype(jnp.float32)))
         if self.skips and has_flow:
             out = warp_with_occlusion(source_image, flow, occlusion, previous=out)
         return out
