@@ -281,6 +281,42 @@ class GaussianDiffusion:
         )
         return img
 
+    def interpolate(
+        self, denoise: DenoiseFn, rng: jax.Array,
+        x1: jnp.ndarray, x2: jnp.ndarray, fea: jnp.ndarray,
+        cond=None, cond_scale: float = 1.0,
+        t: int | None = None, lam: float = 0.5,
+    ) -> jnp.ndarray:
+        """Latent interpolation (video_flow_diffusion.py:832-846): noise both
+        volumes to step `t`, lerp, then ancestrally denoise the remaining
+        steps — as one `lax.scan`."""
+        assert x1.shape == x2.shape
+        b, f = x1.shape[:2]
+        t = self.timesteps - 1 if t is None else t
+        key_n, key_loop = jax.random.split(rng)
+        tb = jnp.full((b,), t, jnp.int32)
+        noise = jax.random.normal(key_n, x1.shape, x1.dtype)
+        img = (1 - lam) * self.q_sample(x1, tb, noise) + lam * self.q_sample(
+            x2, tb, noise
+        )
+        fea_t = self._tile_fea(fea, f)
+        ts = jnp.arange(t - 1, -1, -1)
+        keys = jax.random.split(key_loop, t)
+        noise_seq = jax.vmap(lambda k: jax.random.normal(k, x1.shape, x1.dtype))(keys)
+
+        def step(img, inp):
+            t_scalar, noise = inp
+            tt = jnp.full((b,), t_scalar, jnp.int32)
+            x_in = jnp.concatenate([img, fea_t], axis=-1)
+            eps = self._guided_eps(denoise, x_in, tt, cond, cond_scale)
+            x0 = self._maybe_threshold(self.predict_start_from_noise(img, tt, eps))
+            mean, log_var = self.q_posterior(x0, img, tt)
+            nonzero = (t_scalar > 0).astype(img.dtype)
+            return mean + nonzero * jnp.exp(0.5 * log_var) * noise, None
+
+        img, _ = jax.lax.scan(step, img, (ts, noise_seq))
+        return img
+
     def sample(
         self, denoise: DenoiseFn, rng: jax.Array, fea: jnp.ndarray,
         cond=None, cond_scale: float = 1.0, batch_size: int = 1,

@@ -83,10 +83,12 @@ def main() -> None:
             unet_vars, lfae_vars, rng, ref, cond, args.cond_scale
         )
 
+    from cvpr23_lfdm_tpu.eval.metrics import psnr, ssim
+
     out_dir = os.path.join(args.log_dir, "dm_test")
     os.makedirs(out_dir, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
-    rec_losses, warp_losses = [], []
+    rec_losses, warp_losses, psnrs, ssims = [], [], [], []
     n = min(args.num_videos, len(dataset))
     for i in range(n):
         item = dataset[i]
@@ -99,9 +101,12 @@ def main() -> None:
         out = jax.device_get(sample(unet_vars, lfae_vars, k2, ref, cond))
         rec_losses.append(float(aux["rec_loss"]))
         warp_losses.append(float(aux["rec_warp_loss"]))
+        psnrs.append(float(psnr(vid, jnp.asarray(out["out_vid"]))))
+        ssims.append(float(ssim(vid, jnp.asarray(out["out_vid"]))))
         print(
             f"[{i + 1}/{n}] {item['name']}: loss {float(loss):.4f} "
-            f"rec {rec_losses[-1]:.4f} warp {warp_losses[-1]:.4f}"
+            f"rec {rec_losses[-1]:.4f} warp {warp_losses[-1]:.4f} "
+            f"psnr {psnrs[-1]:.2f} ssim {ssims[-1]:.3f}"
         )
         if args.save_video:
             real = np.asarray(item["video"])
@@ -111,7 +116,8 @@ def main() -> None:
             )  # [F, H, 2W, 3]
             save_gif(os.path.join(out_dir, f"{item['name']}.gif"), rows)
     print(
-        f"mean rec {np.mean(rec_losses):.4f} mean warp {np.mean(warp_losses):.4f}"
+        f"mean rec {np.mean(rec_losses):.4f} mean warp {np.mean(warp_losses):.4f} "
+        f"mean psnr {np.mean(psnrs):.2f} mean ssim {np.mean(ssims):.3f}"
     )
 
 
