@@ -129,7 +129,7 @@ class TemporalAttention(nn.Module):
     use_rotary: bool = True
 
     @nn.compact
-    def __call__(self, x, pos_bias=None):
+    def __call__(self, x, pos_bias=None, focus_present_mask=None):
         b, f, h, w, c = x.shape
         hidden = self.heads * self.dim_head
         qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
@@ -148,6 +148,15 @@ class TemporalAttention(nn.Module):
         sim = jnp.einsum("bxhid,bxhjd->bxhij", q, k).astype(jnp.float32)
         if pos_bias is not None:
             sim = sim + pos_bias[None, None]
+        if focus_present_mask is not None:
+            # present-only ("arrested") attention for masked batch entries
+            # (video_flow_diffusion.py:342-352): keys restricted to the
+            # query's own frame -> attention output collapses to v
+            self_mask = jnp.eye(f, dtype=bool)[None, None, None]
+            keep = jnp.where(
+                focus_present_mask[:, None, None, None, None], self_mask, True
+            )
+            sim = jnp.where(keep, sim, jnp.finfo(jnp.float32).min)
         sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
         attn = nn.softmax(sim, axis=-1).astype(v.dtype)
         out = jnp.einsum("bxhij,bxhjd->bxhid", attn, v)
@@ -377,13 +386,16 @@ class Unet3D(nn.Module):
     dtype: jnp.dtype = jnp.float32  # compute dtype (params stay fp32)
 
     @nn.compact
-    def __call__(self, x, time, cond=None, null_cond_mask=None):
+    def __call__(self, x, time, cond=None, null_cond_mask=None,
+                 focus_present_mask=None):
         """Args:
           x: `[B, F, H, W, C_in]` noisy latent + ref features.
           time: `[B]` int/float diffusion timestep.
           cond: `[B, cond_dim]` text embedding (None for uncond model).
           null_cond_mask: `[B]` bool; True replaces cond with the null
             embedding (classifier-free guidance dropout / "None" texts).
+          focus_present_mask: `[B]` bool; True arrests temporal attention to
+            the present frame (video_flow_diffusion.py:542-552).
         """
         b, f, h, w, _ = x.shape
         dim = self.dim
@@ -399,6 +411,8 @@ class Unet3D(nn.Module):
         x = PreNormResidual(
             dim, TemporalAttention, heads, self.attn_dim_head, self.dtype,
             name="init_temporal_attn",
+            # reference quirk: the init attention does NOT receive the focus
+            # mask (video_flow_diffusion.py:549)
         )(x, pos_bias=pos_bias)
 
         # time conditioning MLP (video_flow_diffusion.py:422-428)
@@ -439,7 +453,7 @@ class Unet3D(nn.Module):
             x = PreNormResidual(
                 dim_out, TemporalAttention, heads, self.attn_dim_head, self.dtype,
                 name=f"downs_{ind}_temporal_attn",
-            )(x, pos_bias=pos_bias)
+            )(x, pos_bias=pos_bias, focus_present_mask=focus_present_mask)
             hs.append(x)
             if not is_last:
                 x = Downsample(dim_out, self.dtype, name=f"downs_{ind}_downsample")(x)
@@ -455,7 +469,7 @@ class Unet3D(nn.Module):
         x = PreNormResidual(
             mid_dim, TemporalAttention, heads, self.attn_dim_head, self.dtype,
             name="mid_temporal_attn",
-        )(x, pos_bias=pos_bias)
+        )(x, pos_bias=pos_bias, focus_present_mask=focus_present_mask)
         x = ResnetBlock(mid_dim, self.resnet_groups, self.dtype, name="mid_block2")(x, t)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
@@ -471,7 +485,7 @@ class Unet3D(nn.Module):
             x = PreNormResidual(
                 dim_in, TemporalAttention, heads, self.attn_dim_head, self.dtype,
                 name=f"ups_{ind}_temporal_attn",
-            )(x, pos_bias=pos_bias)
+            )(x, pos_bias=pos_bias, focus_present_mask=focus_present_mask)
             if not is_last:
                 x = Upsample(
                     dim_in, self.use_deconv, self.padding_mode, self.dtype,

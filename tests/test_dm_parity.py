@@ -76,6 +76,29 @@ def test_unet3d_parity(unet_pair):
     np.testing.assert_allclose(np.asarray(out), _from_torch_video(theirs), atol=2e-4)
 
 
+def test_unet3d_focus_present_mask(unet_pair):
+    """Arrested temporal attention matches the reference's
+    focus_present_mask path (video_flow_diffusion.py:342-352)."""
+    ref, ours, variables = unet_pair
+    rng = np.random.RandomState(2)
+    x = rng.randn(B, F, HW, HW, CIN).astype(np.float32)
+    t = np.array([1, 9], dtype=np.int64)
+    cond = rng.randn(B, COND).astype(np.float32)
+    mask = np.array([True, False])
+
+    with torch.no_grad():
+        theirs = ref(
+            _to_torch_video(x), torch.from_numpy(t),
+            cond=torch.from_numpy(cond), null_cond_prob=0.0,
+            focus_present_mask=torch.from_numpy(mask),
+        )
+    out = ours.apply(
+        variables, jnp.asarray(x), jnp.asarray(t), jnp.asarray(cond),
+        jnp.zeros((B,), bool), focus_present_mask=jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(np.asarray(out), _from_torch_video(theirs), atol=2e-4)
+
+
 def test_unet3d_null_cond_mask(unet_pair):
     """Forced null rows equal the reference's none_cond_mask path."""
     ref, ours, variables = unet_pair
