@@ -56,19 +56,26 @@ def main() -> None:
 
     @jax.jit
     def sample(unet_vars, lfae_vars, rng, ref_img, cond):
-        return model.sample_video(
+        out = model.sample_video(
             unet_vars, lfae_vars, rng, ref_img, cond, cond_scale=1.0
+        )
+        # reduce to a scalar so the host sync below transfers 4 bytes
+        return out["out_vid"].mean()
+
+    def run_once():
+        # device_get forces a REAL completion sync; on this image's tunneled
+        # backend block_until_ready returns at dispatch-ack, not completion
+        return float(
+            jax.device_get(sample(unet_vars, lfae_vars, k_s, ref_img, cond))
         )
 
     for _ in range(WARMUP):
-        out = sample(unet_vars, lfae_vars, k_s, ref_img, cond)
-        jax.block_until_ready(out)
+        run_once()
 
     times = []
     for _ in range(ITERS):
         t0 = time.perf_counter()
-        out = sample(unet_vars, lfae_vars, k_s, ref_img, cond)
-        jax.block_until_ready(out)
+        run_once()
         times.append(time.perf_counter() - t0)
 
     times.sort()

@@ -185,10 +185,16 @@ class FlowDiffusion:
         cond: jnp.ndarray,
         none_cond_mask: jnp.ndarray | None = None,
         with_monitoring: bool = True,
+        only_use_flow: bool = True,
     ) -> tuple[jnp.ndarray, dict]:
         """Full training forward (video_flow_diffusion_model.py:116-179).
 
-        Returns (diffusion loss, aux dict incl. monitoring reconstructions).
+        Returns (total training loss, aux dict incl. reconstructions).
+        With `only_use_flow` (the reference "-of" flag, the published
+        configs' setting) the objective is the diffusion loss alone and the
+        decode runs gradient-free for monitoring; otherwise the L1
+        reconstruction losses backprop through the frozen generator into
+        `pred_x0` (optimize_parameters :181-188).
         """
         gt = self.pseudo_ground_truth(lfae_vars, ref_img, real_vid)
         x_start = self.encode_latent(gt["vid_grid"], gt["vid_conf"])
@@ -196,21 +202,30 @@ class FlowDiffusion:
             self.denoise_fn(unet_vars), rng, x_start, gt["ref_fea"], cond, none_cond_mask
         )
         aux = {"loss": loss, **gt}
-        if with_monitoring:
-            pred_x0 = jax.lax.stop_gradient(dm_aux["pred_x0"])
+        total = loss
+        if with_monitoring or not only_use_flow:
+            pred_x0 = (
+                dm_aux["pred_x0"]
+                if not only_use_flow
+                else jax.lax.stop_gradient(dm_aux["pred_x0"])
+            )
             fake_grid, fake_conf = self.decode_latent(pred_x0)
             fake_out, fake_warped = self.decode_flow_video(
                 lfae_vars, ref_img, fake_grid, fake_conf
             )
+            rec_loss = jnp.mean(jnp.abs(real_vid - fake_out))
+            rec_warp_loss = jnp.mean(jnp.abs(real_vid - fake_warped))
             aux.update(
                 fake_out_vid=fake_out,
                 fake_warped_vid=fake_warped,
                 fake_vid_grid=fake_grid,
                 fake_vid_conf=fake_conf,
-                rec_loss=jnp.mean(jnp.abs(real_vid - fake_out)),
-                rec_warp_loss=jnp.mean(jnp.abs(real_vid - fake_warped)),
+                rec_loss=rec_loss,
+                rec_warp_loss=rec_warp_loss,
             )
-        return loss, aux
+            if not only_use_flow:
+                total = loss + rec_loss + rec_warp_loss
+        return total, aux
 
     # ------------------------------------------------------------ sampling
 

@@ -92,6 +92,7 @@ class DMTrainer:
                 batch["cond"],
                 batch.get("none_cond_mask"),
                 with_monitoring=True,
+                only_use_flow=self.cfg.dm_train.only_use_flow,
             )
             return loss, aux
 

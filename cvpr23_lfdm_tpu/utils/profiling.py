@@ -1,0 +1,57 @@
+"""Profiling/tracing harness.
+
+The reference has no profiler story (wall-clock AverageMeters only,
+SURVEY.md §5). Here: a jax-profiler trace context (loadable in
+TensorBoard/xprof) and an honest wall-clock timer. NOTE for this image's
+tunneled backend: `jax.block_until_ready` returns at dispatch-ack, so
+`time_fn` syncs by fetching a scalar reduction of the output.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a device trace: `with trace("/tmp/trace"): run_step()`."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def _sync(out) -> None:
+    leaves = [x for x in jax.tree_util.tree_leaves(out) if hasattr(x, "dtype")]
+    if leaves:
+        jax.device_get(jnp.asarray(leaves[0]).ravel()[0])
+
+
+def time_fn(
+    fn: Callable,
+    *args,
+    iters: int = 10,
+    warmup: int = 2,
+    **kwargs,
+) -> dict:
+    """Median/min wall-clock of `fn(*args)` with real completion syncs."""
+    for _ in range(warmup):
+        _sync(fn(*args, **kwargs))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(fn(*args, **kwargs))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return {
+        "median_s": times[len(times) // 2],
+        "min_s": times[0],
+        "mean_s": sum(times) / len(times),
+        "iters": iters,
+    }
