@@ -82,10 +82,14 @@ class FlowDiffusion:
         }
 
     def denoise_fn(self, unet_vars: dict):
-        """Bind UNet variables into a pure eps-predictor."""
+        """Bind UNet variables into a pure eps-predictor.
+        `fea` rides separately (`[B, 1, h, w, Cf]`) so the init conv's
+        feature half stays loop- and frame-invariant."""
 
-        def denoise(x, t, cond, null_cond_mask):
-            return self.unet.apply(unet_vars, x, t, cond, null_cond_mask)
+        def denoise(x, t, cond, null_cond_mask, fea):
+            return self.unet.apply(
+                unet_vars, x, t, cond, null_cond_mask, fea=fea
+            )
 
         return denoise
 
@@ -267,15 +271,15 @@ class FlowDiffusion:
     # ------------------------------------------------------------ init
 
     def init_unet_vars(self, rng: jax.Array, batch: int = 1) -> dict:
-        c_in = 3 + self._fea_channels()
+        s = self.cfg.img_size
         x = jnp.zeros(
-            (batch, self.cfg.num_frames, self.cfg.img_size, self.cfg.img_size, c_in),
-            jnp.float32,
+            (batch, self.cfg.num_frames, s, s, 3), jnp.float32
         )
+        fea = jnp.zeros((batch, 1, s, s, self._fea_channels()), jnp.float32)
         t = jnp.zeros((batch,), jnp.int32)
         cond = jnp.zeros((batch, self.cfg.cond_dim), jnp.float32)
         # jit: eager init dispatches per-op, which is slow on tunneled devices
-        return jax.jit(lambda r: self.unet.init(r, x, t, cond))(rng)
+        return jax.jit(lambda r: self.unet.init(r, x, t, cond, fea=fea))(rng)
 
     def _fea_channels(self) -> int:
         g = self.lfae_cfg.generator

@@ -25,8 +25,9 @@ import jax.numpy as jnp
 
 from cvpr23_lfdm_tpu.diffusion.schedule import DiffusionSchedule
 
-# denoise(x_and_fea, t, cond, null_cond_mask) -> eps prediction [B,F,h,w,3]
-DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray | None, jnp.ndarray | None], jnp.ndarray]
+# denoise(x, t, cond, null_cond_mask, fea) -> eps prediction [B,F,h,w,3];
+# fea is [B, 1, h, w, Cf] (frame-broadcast inside the UNet)
+DenoiseFn = Callable[..., jnp.ndarray]
 
 
 def _extract(a: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
@@ -147,8 +148,7 @@ class GaussianDiffusion:
             if none_cond_mask is not None:
                 null_mask = jnp.logical_or(null_mask, none_cond_mask)
 
-        x_in = jnp.concatenate([x_noisy, self._tile_fea(fea, f)], axis=-1)
-        pred_noise = denoise(x_in, t, cond, null_mask)
+        pred_noise = denoise(x_noisy, t, cond, null_mask, fea[:, None])
 
         if self.loss_type == "l1":
             loss = jnp.mean(jnp.abs(noise - pred_noise))
@@ -169,21 +169,23 @@ class GaussianDiffusion:
         b, h, w, c = fea.shape
         return jnp.broadcast_to(fea[:, None], (b, num_frames, h, w, c))
 
-    def _guided_eps(self, denoise: DenoiseFn, x_in, t, cond, cond_scale: float):
+    def _guided_eps(self, denoise: DenoiseFn, x_in, t, cond, cond_scale: float, fea):
         """forward_with_cond_scale (video_flow_diffusion.py:511-526) as a
-        single batched call. `cond_scale` is a static float."""
+        single batched call. `cond_scale` is a static float. `fea` is
+        [B, 1, h, w, Cf]."""
         b = x_in.shape[0]
         false_mask = jnp.zeros((b,), dtype=bool)
         true_mask = jnp.ones((b,), dtype=bool)
         if cond_scale == 0.0 or cond is None:
-            return denoise(x_in, t, cond, true_mask)
+            return denoise(x_in, t, cond, true_mask, fea)
         if cond_scale == 1.0:
-            return denoise(x_in, t, cond, false_mask)
+            return denoise(x_in, t, cond, false_mask, fea)
         x2 = jnp.concatenate([x_in, x_in], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
         cond2 = jnp.concatenate([cond, cond], axis=0)
         mask2 = jnp.concatenate([false_mask, true_mask], axis=0)
-        eps2 = denoise(x2, t2, cond2, mask2)
+        fea2 = jnp.concatenate([fea, fea], axis=0)
+        eps2 = denoise(x2, t2, cond2, mask2, fea2)
         eps_cond, eps_null = eps2[:b], eps2[b:]
         return eps_null + (eps_cond - eps_null) * cond_scale
 
@@ -205,7 +207,7 @@ class GaussianDiffusion:
             if init_img is None
             else init_img
         )
-        fea_t = self._tile_fea(fea, f)
+        fea_1 = fea[:, None]
         ts = jnp.arange(self.timesteps - 1, -1, -1)
         keys = jax.random.split(key_loop, self.timesteps)
         if noise_seq is None:
@@ -214,8 +216,7 @@ class GaussianDiffusion:
         def step(img, inp):
             t_scalar, noise = inp
             t = jnp.full((b,), t_scalar, jnp.int32)
-            x_in = jnp.concatenate([img, fea_t], axis=-1)
-            eps = self._guided_eps(denoise, x_in, t, cond, cond_scale)
+            eps = self._guided_eps(denoise, img, t, cond, cond_scale, fea_1)
             x0 = self._maybe_threshold(self.predict_start_from_noise(img, t, eps))
             mean, log_var = self.q_posterior(x0, img, t)
             nonzero = (t_scalar > 0).astype(img.dtype)
@@ -254,7 +255,7 @@ class GaussianDiffusion:
             if init_img is None
             else init_img
         )
-        fea_t = self._tile_fea(fea, f)
+        fea_1 = fea[:, None]
 
         t_cur, t_next = self.ddim_times()
         # note: reference indexes alphas_cumprod_PREV at both times
@@ -269,8 +270,7 @@ class GaussianDiffusion:
         def step(img, inp):
             t_scalar, t_next_scalar, alpha_next_s, sigma_s, c_s, noise = inp
             t = jnp.full((b,), t_scalar, jnp.int32)
-            x_in = jnp.concatenate([img, fea_t], axis=-1)
-            eps = self._guided_eps(denoise, x_in, t, cond, cond_scale)
+            eps = self._guided_eps(denoise, img, t, cond, cond_scale, fea_1)
             x0 = self._maybe_threshold(self.predict_start_from_noise(img, t, eps))
             noise = jnp.where(t_next_scalar > 0, noise, 0.0)
             img = x0 * jnp.sqrt(alpha_next_s) + c_s * eps + sigma_s * noise
@@ -299,7 +299,7 @@ class GaussianDiffusion:
         img = (1 - lam) * self.q_sample(x1, tb, noise) + lam * self.q_sample(
             x2, tb, noise
         )
-        fea_t = self._tile_fea(fea, f)
+        fea_1 = fea[:, None]
         ts = jnp.arange(t - 1, -1, -1)
         keys = jax.random.split(key_loop, t)
         noise_seq = jax.vmap(lambda k: jax.random.normal(k, x1.shape, x1.dtype))(keys)
@@ -307,8 +307,7 @@ class GaussianDiffusion:
         def step(img, inp):
             t_scalar, noise = inp
             tt = jnp.full((b,), t_scalar, jnp.int32)
-            x_in = jnp.concatenate([img, fea_t], axis=-1)
-            eps = self._guided_eps(denoise, x_in, tt, cond, cond_scale)
+            eps = self._guided_eps(denoise, img, tt, cond, cond_scale, fea_1)
             x0 = self._maybe_threshold(self.predict_start_from_noise(img, tt, eps))
             mean, log_var = self.q_posterior(x0, img, tt)
             nonzero = (t_scalar > 0).astype(img.dtype)

@@ -243,7 +243,8 @@ class PreNormResidual(nn.Module):
 
 
 def conv_2plus1d(features: int, k: int, name: str | None = None,
-                 padding_mode: str = "zeros", dtype=jnp.float32):
+                 padding_mode: str = "zeros", dtype=jnp.float32,
+                 use_bias: bool = True):
     """(1, k, k) pseudo-3D conv as a frame-batched 2D conv wrapper."""
     pad = k // 2
 
@@ -254,9 +255,9 @@ def conv_2plus1d(features: int, k: int, name: str | None = None,
             y = x.reshape(b * f, h, w, c)
             if padding_mode == "reflect" and pad > 0:
                 y = jnp.pad(y, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
-                y = nn.Conv(features, (k, k), padding="VALID", dtype=dtype, name="conv")(y)
+                y = nn.Conv(features, (k, k), padding="VALID", dtype=dtype, use_bias=use_bias, name="conv")(y)
             else:
-                y = nn.Conv(features, (k, k), padding=[(pad, pad), (pad, pad)], dtype=dtype, name="conv")(y)
+                y = nn.Conv(features, (k, k), padding=[(pad, pad), (pad, pad)], dtype=dtype, use_bias=use_bias, name="conv")(y)
             return y.reshape(b, f, h, w, features)
 
     return _Conv(name=name)
@@ -387,15 +388,23 @@ class Unet3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, time, cond=None, null_cond_mask=None,
-                 focus_present_mask=None):
+                 focus_present_mask=None, fea=None):
         """Args:
-          x: `[B, F, H, W, C_in]` noisy latent + ref features.
+          x: `[B, F, H, W, 3]` noisy latent volume (or the full
+            latent+feature concat when `fea` is None).
           time: `[B]` int/float diffusion timestep.
           cond: `[B, cond_dim]` text embedding (None for uncond model).
           null_cond_mask: `[B]` bool; True replaces cond with the null
             embedding (classifier-free guidance dropout / "None" texts).
           focus_present_mask: `[B]` bool; True arrests temporal attention to
             the present frame (video_flow_diffusion.py:542-552).
+          fea: `[B, Ff, H, W, Cf]` reference-image features, Ff in {1, F}.
+            Kept SEPARATE from x so the 7x7 init convolution splits by
+            linearity: the feature half is loop-invariant during sampling
+            (hoisted out of the scan by XLA) and frame-invariant when
+            Ff == 1 — the reference instead re-convolves the concatenated
+            259-channel input every step (video_flow_diffusion.py:410,546),
+            ~27% of the UNet's FLOPs.
         """
         b, f, h, w, _ = x.shape
         dim = self.dim
@@ -407,6 +416,11 @@ class Unet3D(nn.Module):
         )(f)
 
         x = conv_2plus1d(dim, 7, name="init_conv", dtype=self.dtype)(x)
+        if fea is not None:
+            fea_out = conv_2plus1d(
+                dim, 7, name="init_conv_fea", dtype=self.dtype, use_bias=False
+            )(fea.astype(self.dtype))
+            x = x + fea_out.astype(x.dtype)  # broadcasts over F when Ff == 1
         r = x
         x = PreNormResidual(
             dim, TemporalAttention, heads, self.attn_dim_head, self.dtype,

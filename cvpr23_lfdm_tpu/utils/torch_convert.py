@@ -210,11 +210,18 @@ def _convert_prenorm_attn(params, base, sd, prefix, kind):
         _set(params, attn + ("to_out", "kernel"), _linear_w(sd[inner + ".to_out.weight"]))
 
 
-def convert_unet3d(sd, num_levels: int = 4, use_deconv: bool = True) -> dict:
-    """DM/modules/video_flow_diffusion.py Unet3D state_dict -> flax params."""
+def convert_unet3d(sd, num_levels: int = 4, use_deconv: bool = True,
+                   latent_channels: int = 3) -> dict:
+    """DM/modules/video_flow_diffusion.py Unet3D state_dict -> flax params.
+
+    The reference's single 7x7 init conv over latent+feature channels is
+    split by linearity into `init_conv` (latent, keeps the bias) and
+    `init_conv_fea` (features, bias-free) — weight-identical outputs."""
     params = {}
-    _set(params, ("init_conv", "conv", "kernel"), _conv3d_as2d_w(sd["init_conv.weight"]))
+    w = _conv3d_as2d_w(sd["init_conv.weight"])  # HWIO
+    _set(params, ("init_conv", "conv", "kernel"), w[:, :, :latent_channels, :])
     _set(params, ("init_conv", "conv", "bias"), _np(sd["init_conv.bias"]))
+    _set(params, ("init_conv_fea", "conv", "kernel"), w[:, :, latent_channels:, :])
     _convert_prenorm_attn(params, ("init_temporal_attn",), sd, "init_temporal_attn", "temporal")
     _set(
         params,

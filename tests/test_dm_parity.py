@@ -70,8 +70,8 @@ def test_unet3d_parity(unet_pair):
             cond=torch.from_numpy(cond), null_cond_prob=0.0,
         )
     out = ours.apply(
-        variables, jnp.asarray(x), jnp.asarray(t), jnp.asarray(cond),
-        jnp.zeros((B,), bool),
+        variables, jnp.asarray(x[..., :3]), jnp.asarray(t), jnp.asarray(cond),
+        jnp.zeros((B,), bool), fea=jnp.asarray(x[..., 3:]),
     )
     np.testing.assert_allclose(np.asarray(out), _from_torch_video(theirs), atol=2e-4)
 
@@ -93,8 +93,9 @@ def test_unet3d_focus_present_mask(unet_pair):
             focus_present_mask=torch.from_numpy(mask),
         )
     out = ours.apply(
-        variables, jnp.asarray(x), jnp.asarray(t), jnp.asarray(cond),
+        variables, jnp.asarray(x[..., :3]), jnp.asarray(t), jnp.asarray(cond),
         jnp.zeros((B,), bool), focus_present_mask=jnp.asarray(mask),
+        fea=jnp.asarray(x[..., 3:]),
     )
     np.testing.assert_allclose(np.asarray(out), _from_torch_video(theirs), atol=2e-4)
 
@@ -115,8 +116,8 @@ def test_unet3d_null_cond_mask(unet_pair):
             none_cond_mask=mask.tolist(),
         )
     out = ours.apply(
-        variables, jnp.asarray(x), jnp.asarray(t), jnp.asarray(cond),
-        jnp.asarray(mask),
+        variables, jnp.asarray(x[..., :3]), jnp.asarray(t), jnp.asarray(cond),
+        jnp.asarray(mask), fea=jnp.asarray(x[..., 3:]),
     )
     np.testing.assert_allclose(np.asarray(out), _from_torch_video(theirs), atol=2e-4)
 
@@ -137,8 +138,8 @@ def diffusion_pair(unet_pair):
         null_cond_prob=0.0,
     )
 
-    def denoise(x, t, cond, null_mask):
-        return ours_unet.apply(variables, x, t, cond, null_mask)
+    def denoise(x, t, cond, null_mask, fea):
+        return ours_unet.apply(variables, x, t, cond, null_mask, fea=fea)
 
     return ref_diff, mine, denoise
 
