@@ -41,7 +41,12 @@ def main() -> None:
 
     cfg = mug_config()
     cfg = cfg.replace(
-        diffusion=dataclasses.replace(cfg.diffusion, sampling_timesteps=DDIM_STEPS),
+        diffusion=dataclasses.replace(
+            cfg.diffusion, sampling_timesteps=DDIM_STEPS,
+            # measured on this chip the XLA temporal attention beats the
+            # packed pallas kernel (2.2 vs 3.3 ms/layer) — keep "xla"
+            temporal_attn_impl="xla",
+        ),
         # serving precision: bf16 conv/matmul compute, fp32 params+norms
         lfae=dataclasses.replace(cfg.lfae, compute_dtype="bfloat16"),
     )

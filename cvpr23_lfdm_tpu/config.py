@@ -126,6 +126,9 @@ class DiffusionConfig:
     use_residual_flow: bool = False
     # mixed precision: UNet compute dtype (params/norms/softmax stay fp32)
     compute_dtype: str = "bfloat16"
+    # temporal attention implementation: "xla" | "pallas" (packed-tile TPU
+    # kernel — the serving configuration)
+    temporal_attn_impl: str = "xla"
 
 
 @dataclass(frozen=True)

@@ -69,6 +69,7 @@ class FlowDiffusion:
                 use_deconv=self.cfg.use_deconv,
                 use_final_activation=self.cfg.use_final_activation,
                 dtype=jnp.dtype(self.cfg.compute_dtype),
+                temporal_attn_impl=self.cfg.temporal_attn_impl,
             ),
         )
         object.__setattr__(self, "diffusion", GaussianDiffusion.create(self.cfg))

@@ -127,27 +127,49 @@ class TemporalAttention(nn.Module):
     dim_head: int = 32
     dtype: jnp.dtype = jnp.float32
     use_rotary: bool = True
+    impl: str = "xla"  # "xla" | "pallas" (packed-tile TPU kernel)
 
     @nn.compact
     def __call__(self, x, pos_bias=None, focus_present_mask=None):
         b, f, h, w, c = x.shape
         hidden = self.heads * self.dim_head
         qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+
+        if self.impl.startswith("pallas"):
+            out = self._packed_attention(
+                qkv.reshape(b, f, h * w, 3 * hidden),
+                pos_bias, focus_present_mask,
+                interpret=self.impl == "pallas_interpret",
+            )
+            out = out.reshape(b, f, h, w, hidden)
+            return nn.Dense(
+                self.dim, use_bias=False, dtype=self.dtype, name="to_out"
+            )(out)
+
+        # natural layout [B, F, HW, h, d] — einsums below carry the frame
+        # axis in place, letting XLA fold the permutations into the matmuls
+        # instead of materializing transposed copies (this attention is the
+        # UNet's HBM-bound hotspot: 9 layers x [*, 40, 40] sims)
         qkv = qkv.reshape(b, f, h * w, 3, self.heads, self.dim_head)
-        # -> [B, HW, heads, F, d]
-        qkv = qkv.transpose(3, 0, 2, 4, 1, 5)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
 
         q = q * (self.dim_head**-0.5)
         if self.use_rotary:
             cos, sin = _rotary_freqs(min(32, self.dim_head), f)
-            cos, sin = cos.astype(q.dtype), sin.astype(q.dtype)
-            q = apply_rotary(q, cos, sin)
-            k = apply_rotary(k, cos, sin)
+            # rotary tables indexed by the frame axis (axis 1 here)
+            cos = cos.astype(q.dtype)[None, :, None, None, :]
+            sin = sin.astype(q.dtype)[None, :, None, None, :]
+            q = q * cos + _rotate_half_interleaved(q) * sin
+            k = k * cos + _rotate_half_interleaved(k) * sin
 
-        sim = jnp.einsum("bxhid,bxhjd->bxhij", q, k).astype(jnp.float32)
+        # softmax numerics in fp32 for the fp32 policy; in compute dtype
+        # under bf16 (40 logits after max-subtraction — safe)
+        acc = jnp.float32 if self.dtype == jnp.float32 else self.dtype
+        sim = jnp.einsum(
+            "bixhd,bjxhd->bxhij", q, k, preferred_element_type=acc
+        )
         if pos_bias is not None:
-            sim = sim + pos_bias[None, None]
+            sim = sim + pos_bias[None, None].astype(acc)
         if focus_present_mask is not None:
             # present-only ("arrested") attention for masked batch entries
             # (video_flow_diffusion.py:342-352): keys restricted to the
@@ -158,10 +180,47 @@ class TemporalAttention(nn.Module):
             )
             sim = jnp.where(keep, sim, jnp.finfo(jnp.float32).min)
         sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
-        attn = nn.softmax(sim, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bxhij,bxhjd->bxhid", attn, v)
-        out = out.transpose(0, 3, 1, 2, 4).reshape(b, f, h, w, hidden)
+        attn = nn.softmax(sim.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bxhij,bjxhd->bixhd", attn, v)
+        out = out.reshape(b, f, h, w, hidden)
         return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)
+
+    def _packed_attention(self, qkv, pos_bias, focus_present_mask, interpret):
+        """Packed-tile kernel path: qkv [B,F,HW,3*h*d] -> [B,F,HW,h*d].
+
+        Rotary + q-scale fold into one elementwise pass over the unpadded
+        768-lane qkv tensor; the kernel splits heads by lane slices in VMEM
+        (the XLA form pays ~2.3 GB/layer of lane-padding HBM traffic on the
+        40/32-lane intermediates — measured via cost_analysis)."""
+        from cvpr23_lfdm_tpu.ops.attention_pallas import (
+            build_bias, packed_temporal_attention, pick_pack, rotary_tables,
+            rotate_pairs,
+        )
+
+        b, f, hw, _ = qkv.shape
+        pack = pick_pack(hw, f)
+        if pos_bias is None:
+            pos_bias = jnp.zeros((self.heads, f, f), jnp.float32)
+        bias = build_bias(pos_bias, b, pack, f, focus_present_mask)
+        scale = self.dim_head**-0.5
+        if self.use_rotary:
+            cos_t, sin_t = rotary_tables(
+                f, self.heads, self.dim_head, scale, qkv.dtype
+            )
+            qkv = qkv * cos_t[None, :, None, :] + rotate_pairs(qkv) * sin_t[
+                None, :, None, :
+            ]
+        else:
+            hd = self.heads * self.dim_head
+            qscale = jnp.concatenate(
+                [jnp.full((hd,), scale), jnp.ones((2 * hd,))]
+            ).astype(qkv.dtype)
+            qkv = qkv * qscale
+        qkv = qkv.swapaxes(1, 2)  # [B, HW, F, 3hd]
+        out = packed_temporal_attention(
+            qkv, bias, self.heads, self.dim_head, pack, interpret=interpret
+        )
+        return out.swapaxes(1, 2)  # [B, F, HW, h*d]
 
 
 class SpatialAttention(nn.Module):
@@ -385,6 +444,7 @@ class Unet3D(nn.Module):
     padding_mode: str = "zeros"
     use_final_activation: bool = False
     dtype: jnp.dtype = jnp.float32  # compute dtype (params stay fp32)
+    temporal_attn_impl: str = "xla"  # "xla" | "pallas" (packed-tile kernel)
 
     @nn.compact
     def __call__(self, x, time, cond=None, null_cond_mask=None,
@@ -406,9 +466,14 @@ class Unet3D(nn.Module):
             259-channel input every step (video_flow_diffusion.py:410,546),
             ~27% of the UNet's FLOPs.
         """
+        import functools as _ft
+
         b, f, h, w, _ = x.shape
         dim = self.dim
         heads = self.attn_heads
+        temporal_cls = _ft.partial(
+            TemporalAttention, impl=self.temporal_attn_impl
+        )
         x = x.astype(self.dtype)
 
         pos_bias = RelativePositionBias(
@@ -423,7 +488,7 @@ class Unet3D(nn.Module):
             x = x + fea_out.astype(x.dtype)  # broadcasts over F when Ff == 1
         r = x
         x = PreNormResidual(
-            dim, TemporalAttention, heads, self.attn_dim_head, self.dtype,
+            dim, temporal_cls, heads, self.attn_dim_head, self.dtype,
             name="init_temporal_attn",
             # reference quirk: the init attention does NOT receive the focus
             # mask (video_flow_diffusion.py:549)
@@ -465,7 +530,7 @@ class Unet3D(nn.Module):
                     name=f"downs_{ind}_spatial_attn",
                 )(x)
             x = PreNormResidual(
-                dim_out, TemporalAttention, heads, self.attn_dim_head, self.dtype,
+                dim_out, temporal_cls, heads, self.attn_dim_head, self.dtype,
                 name=f"downs_{ind}_temporal_attn",
             )(x, pos_bias=pos_bias, focus_present_mask=focus_present_mask)
             hs.append(x)
@@ -481,7 +546,7 @@ class Unet3D(nn.Module):
             name="mid_spatial_attn",
         )(x)
         x = PreNormResidual(
-            mid_dim, TemporalAttention, heads, self.attn_dim_head, self.dtype,
+            mid_dim, temporal_cls, heads, self.attn_dim_head, self.dtype,
             name="mid_temporal_attn",
         )(x, pos_bias=pos_bias, focus_present_mask=focus_present_mask)
         x = ResnetBlock(mid_dim, self.resnet_groups, self.dtype, name="mid_block2")(x, t)
@@ -497,7 +562,7 @@ class Unet3D(nn.Module):
                     name=f"ups_{ind}_spatial_attn",
                 )(x)
             x = PreNormResidual(
-                dim_in, TemporalAttention, heads, self.attn_dim_head, self.dtype,
+                dim_in, temporal_cls, heads, self.attn_dim_head, self.dtype,
                 name=f"ups_{ind}_temporal_attn",
             )(x, pos_bias=pos_bias, focus_present_mask=focus_present_mask)
             if not is_last:

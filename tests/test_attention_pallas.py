@@ -1,0 +1,53 @@
+"""Packed temporal attention kernel: parity vs the XLA path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvpr23_lfdm_tpu.models.unet3d import TemporalAttention
+
+
+@pytest.mark.parametrize("hw,f", [(16, 5), (64, 7)])
+def test_packed_attention_matches_xla(hw, f):
+    heads, dh, dim = 2, 8, 16
+    h = w = int(np.sqrt(hw))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, f, h, w, dim)), jnp.float32)
+    pos_bias = jnp.asarray(rng.standard_normal((heads, f, f)), jnp.float32)
+
+    ref_attn = TemporalAttention(dim, heads, dh, impl="xla")
+    variables = jax.jit(lambda r: ref_attn.init(r, x, pos_bias))(
+        jax.random.PRNGKey(0)
+    )
+    ref = ref_attn.apply(variables, x, pos_bias)
+
+    pal_attn = TemporalAttention(dim, heads, dh, impl="pallas_interpret")
+    out = pal_attn.apply(variables, x, pos_bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_packed_attention_focus_mask():
+    heads, dh, dim, f = 2, 8, 16, 5
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, f, 4, 4, dim)), jnp.float32)
+    pos_bias = jnp.asarray(rng.standard_normal((heads, f, f)), jnp.float32)
+    mask = jnp.asarray([True, False])
+
+    attn_x = TemporalAttention(dim, heads, dh, impl="xla")
+    variables = jax.jit(lambda r: attn_x.init(r, x, pos_bias))(
+        jax.random.PRNGKey(0)
+    )
+    ref = attn_x.apply(variables, x, pos_bias, mask)
+    attn_p = TemporalAttention(dim, heads, dh, impl="pallas_interpret")
+    out = attn_p.apply(variables, x, pos_bias, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pick_pack():
+    from cvpr23_lfdm_tpu.ops.attention_pallas import pick_pack
+
+    assert pick_pack(1024, 40) == 4   # 4*40=160 <= 256
+    assert pick_pack(1024, 40, target_rows=512) == 8
+    assert pick_pack(16, 5) == 16     # 16*5=80
+    assert pick_pack(1, 40) == 1
