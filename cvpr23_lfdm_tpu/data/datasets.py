@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 
+import threading
+
 from cvpr23_lfdm_tpu.data import native
 from cvpr23_lfdm_tpu.data.augment import ClipAugment, color_jitter_clip
 from cvpr23_lfdm_tpu.data.io import list_frames, pad_resize, read_image
@@ -25,6 +27,26 @@ from cvpr23_lfdm_tpu.data.specs import DatasetSpec, VideoEntry
 
 # DM color jitter strengths (DM/datasets_mug.py:94-97)
 DM_JITTER = dict(brightness=64.0 / 255, contrast=0.25, saturation=0.25, hue=0.04)
+
+
+class _ThreadLocalRNG:
+    """Per-thread numpy Generators (np.random.Generator is NOT thread-safe;
+    PrefetchLoader calls __getitem__ from a thread pool). Each thread gets
+    an independent stream spawned from the dataset seed."""
+
+    def __init__(self, seed: int):
+        self._seq = np.random.SeedSequence(seed)
+        self._local = threading.local()
+        self._lock = threading.Lock()
+
+    def get(self) -> np.random.Generator:
+        rng = getattr(self._local, "rng", None)
+        if rng is None:
+            with self._lock:
+                child = self._seq.spawn(1)[0]
+            rng = np.random.default_rng(child)
+            self._local.rng = rng
+        return rng
 
 
 def _split_entries(spec: DatasetSpec, root: str, split: str) -> list[VideoEntry]:
@@ -36,8 +58,7 @@ def _split_entries(spec: DatasetSpec, root: str, split: str) -> list[VideoEntry]
     return spec.list_videos(root, subjects)
 
 
-def _read_clip(entry: VideoEntry, idx: np.ndarray, crop) -> np.ndarray:
-    paths = list_frames(entry.path)
+def _read_clip(paths: list[str], idx: np.ndarray, crop) -> np.ndarray:
     frames = [read_image(paths[i]) for i in idx]
     if crop is not None:
         y0, y1, x0, x1 = crop
@@ -69,7 +90,7 @@ class DMVideoDataset:
         self.image_size = image_size
         self.color_jitter = color_jitter
         self.sampling = sampling
-        self.rng = np.random.default_rng(seed)
+        self._rng = _ThreadLocalRNG(seed)
         entries = _split_entries(spec, root, split)
         if combos:
             first = {}
@@ -89,15 +110,16 @@ class DMVideoDataset:
         raise KeyError((subject, class_name))
 
     def __getitem__(self, index: int) -> dict:
+        rng = self._rng.get()
         e = self.entries[index]
-        total = len(list_frames(e.path))
-        idx = sample_indices(self.rng, total, self.num_frames, self.sampling)
-        clip = _read_clip(e, idx, self.spec.crop)
+        paths = list_frames(e.path)
+        idx = sample_indices(rng, len(paths), self.num_frames, self.sampling)
+        clip = _read_clip(paths, idx, self.spec.crop)
         if self.color_jitter:
             # reference jitters at native resolution, fixed B,C,S,H order
             # (DM/datasets_mug.py:93-105), one draw per clip
             clip = color_jitter_clip(
-                self.rng, clip, shuffle_order=False, **DM_JITTER
+                rng, clip, shuffle_order=False, **DM_JITTER
             )
         clip = native.pad_resize_batch_f32(clip, self.image_size)
         return {
@@ -124,16 +146,17 @@ class LFAEPairDataset:
         self.spec = spec
         self.frame_shape = frame_shape
         self.augment = augment
-        self.rng = np.random.default_rng(seed)
+        self._rng = _ThreadLocalRNG(seed)
         self.entries = _split_entries(spec, root, split)
 
     def __len__(self) -> int:
         return len(self.entries)
 
     def __getitem__(self, index: int) -> dict:
+        rng = self._rng.get()
         e = self.entries[index]
         paths = list_frames(e.path)
-        idx = pair_indices(self.rng, len(paths))
+        idx = pair_indices(rng, len(paths))
         pair = []
         for i in idx:
             img = read_image(paths[i])
@@ -143,7 +166,7 @@ class LFAEPairDataset:
             pair.append(pad_resize(img, self.frame_shape))
         clip = np.stack(pair).astype(np.float32) / 255.0
         if self.augment is not None:
-            clip = self.augment(self.rng, clip)
+            clip = self.augment(rng, clip)
         return {"source": clip[0], "driving": clip[1], "name": e.name, "id": index}
 
 

@@ -71,18 +71,24 @@ class PrefetchLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idx in self._index_stream():
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, idx))
-                    batch_q.put(collate(samples))
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idx in self._index_stream():
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__, idx))
+                        batch_q.put(collate(samples))
+            except BaseException as e:  # surface worker failures, don't hang
+                batch_q.put(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
         try:
             while True:
-                yield batch_q.get()
+                batch = batch_q.get()
+                if isinstance(batch, BaseException):
+                    raise RuntimeError("data loader worker failed") from batch
+                yield batch
         finally:
             stop.set()
 

@@ -195,11 +195,12 @@ class FlowDiffusion:
         """Full training forward (video_flow_diffusion_model.py:116-179).
 
         Returns (total training loss, aux dict incl. reconstructions).
-        With `only_use_flow` (the reference "-of" flag, the published
-        configs' setting) the objective is the diffusion loss alone and the
-        decode runs gradient-free for monitoring; otherwise the L1
-        reconstruction losses backprop through the frozen generator into
-        `pred_x0` (optimize_parameters :181-188).
+        NOTE reference quirk: the decode runs under `torch.no_grad()`
+        (:158) even when `only_use_flow` is False, so the rec losses added
+        by optimize_parameters (:184-188) are grad-free constants — the
+        gradient is the diffusion loss's either way. Reproduced exactly:
+        `pred_x0` is always stop-gradient'd; `only_use_flow=False` only
+        changes the reported total.
         """
         gt = self.pseudo_ground_truth(lfae_vars, ref_img, real_vid)
         x_start = self.encode_latent(gt["vid_grid"], gt["vid_conf"])
@@ -209,11 +210,7 @@ class FlowDiffusion:
         aux = {"loss": loss, **gt}
         total = loss
         if with_monitoring or not only_use_flow:
-            pred_x0 = (
-                dm_aux["pred_x0"]
-                if not only_use_flow
-                else jax.lax.stop_gradient(dm_aux["pred_x0"])
-            )
+            pred_x0 = jax.lax.stop_gradient(dm_aux["pred_x0"])
             fake_grid, fake_conf = self.decode_latent(pred_x0)
             fake_out, fake_warped = self.decode_flow_video(
                 lfae_vars, ref_img, fake_grid, fake_conf

@@ -163,12 +163,6 @@ class GaussianDiffusion:
 
     # ---------------------------------------------------------------- CFG
 
-    @staticmethod
-    def _tile_fea(fea: jnp.ndarray, num_frames: int) -> jnp.ndarray:
-        """[B,h,w,C] -> [B,F,h,w,C] (video_flow_diffusion.py:713,789,901)."""
-        b, h, w, c = fea.shape
-        return jnp.broadcast_to(fea[:, None], (b, num_frames, h, w, c))
-
     def _guided_eps(self, denoise: DenoiseFn, x_in, t, cond, cond_scale: float, fea):
         """forward_with_cond_scale (video_flow_diffusion.py:511-526) as a
         single batched call. `cond_scale` is a static float. `fea` is

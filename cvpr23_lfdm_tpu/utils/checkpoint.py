@@ -30,6 +30,8 @@ class CheckpointManager:
 
     def save(self, state: Any, step: int | None = None, rolling: bool = True) -> str:
         """Save a snapshot; with `rolling`, also refresh `latest`."""
+        if step is None and not rolling:
+            raise ValueError("save() needs a step, rolling=True, or both")
         state = jax.device_get(state)
         if step is not None:
             path = self._path(f"step_{int(step):08d}")

@@ -39,7 +39,6 @@ def main() -> None:
     if args.lfae_ckpt.endswith(".pth"):
         lfae_vars = load_lfae_from_torch(args.lfae_ckpt, cfg.lfae)
     elif args.lfae_ckpt:
-        template = jax.device_get(init_lfae_vars(jax.random.PRNGKey(0), cfg.lfae))
         state = CheckpointManager(args.lfae_ckpt).restore(None)
         lfae_vars = {"params": state["params"], "batch_stats": state["batch_stats"]}
     else:

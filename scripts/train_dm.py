@@ -72,8 +72,8 @@ def main() -> None:
     trainer.place_lfae()
     ckpt = CheckpointManager(os.path.join(args.log_dir, "dm_ckpt"))
 
-    rng = jax.random.PRNGKey(args.seed)
-    state = trainer.init_state(rng)
+    rng, init_rng = jax.random.split(jax.random.PRNGKey(args.seed))
+    state = trainer.init_state(init_rng)
     if args.resume and ckpt.has_latest():
         state = ckpt.restore(jax.device_get(state))
         print(f"resumed at step {int(state.step)}")

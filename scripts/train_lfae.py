@@ -69,11 +69,11 @@ def main() -> None:
     trainer = LFAETrainer(cfg, steps_per_epoch, vgg_vars)
     ckpt = CheckpointManager(os.path.join(args.log_dir, "lfae_ckpt"))
 
-    rng = jax.random.PRNGKey(args.seed)
+    rng, init_rng = jax.random.split(jax.random.PRNGKey(args.seed))
     if args.warm_start:
         state = trainer.load_state(load_lfae_from_torch(args.warm_start, cfg.lfae))
     else:
-        state = trainer.init_state(rng)
+        state = trainer.init_state(init_rng)
     if args.resume and ckpt.has_latest():
         state = ckpt.restore(jax.device_get(state))
         print(f"resumed at step {int(state.step)}")
