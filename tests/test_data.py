@@ -206,6 +206,40 @@ def test_natops_crop_applied(corpora):
     assert item["video"].shape == (2, 64, 64, 3)
 
 
+def test_loader_propagates_worker_failure():
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            raise IOError("corrupt frame")
+
+    loader = PrefetchLoader(Broken(), batch_size=2, num_workers=2)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        next(iter(loader))
+
+
+def test_loader_rejects_empty_dataset():
+    with pytest.raises(ValueError, match="empty dataset"):
+        PrefetchLoader([], batch_size=2)
+
+
+def test_dataset_rng_thread_isolation(corpora):
+    """Concurrent __getitem__ calls must not corrupt RNG state."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    spec = get_spec("mug")
+    data = DMVideoDataset(
+        spec, corpora["mug"], num_frames=6, image_size=32,
+        sampling="very_random", seed=0,
+    )
+    with ThreadPoolExecutor(8) as pool:
+        out = list(pool.map(lambda i: data[i % len(data)], range(64)))
+    for item in out:
+        assert item["video"].shape == (6, 32, 32, 3)
+        assert np.isfinite(item["video"]).all()
+
+
 def test_loader_and_repeater(corpora):
     spec = get_spec("mug")
     data = DatasetRepeater(
