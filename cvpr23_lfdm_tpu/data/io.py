@@ -36,7 +36,16 @@ def pad_resize(im: np.ndarray, desired_size: int, interpolation: str = "area") -
 
 
 def read_image(path: str) -> np.ndarray:
-    """Read an image file to uint8 [H, W, 3]."""
+    """Read an image file to uint8 [H, W, 3] RGB.
+
+    cv2 first: it releases the GIL during decode, so the loader's thread
+    pool actually scales (imageio/PIL serializes); imageio fallback for
+    formats cv2 can't read."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is not None:
+        return np.ascontiguousarray(img[:, :, ::-1])
     import imageio.v2 as imageio
 
     img = np.asarray(imageio.imread(path))

@@ -48,7 +48,9 @@ def main() -> None:
     )
     steps_per_epoch = max(1, len(dataset) // batch_size)
     num_steps = args.num_steps or steps_per_epoch * tc.max_epochs
-    loader = PrefetchLoader(dataset, batch_size, num_workers=8, seed=args.seed)
+    # the DM pipeline decodes F frames per sample; decode is the bottleneck
+    # (cv2 releases the GIL, so threads scale with host cores)
+    loader = PrefetchLoader(dataset, batch_size, num_workers=16, seed=args.seed)
 
     # frozen stage-1 weights
     if args.lfae_ckpt.endswith(".pth"):
