@@ -157,3 +157,29 @@ class TextEmbedder:
 
     def ids(self, texts: list[str]) -> np.ndarray:
         return np.array([self.index[t] for t in texts], dtype=np.int32)
+
+
+class JaxBertTextEncoder:
+    """On-device free-text conditioning: host tokenizer + pure-JAX BERT
+    (models/bert.py, parity-tested vs torch). Requires the HF checkpoint
+    once (network or local dir) to convert weights; after that the serving
+    path is torch-free."""
+
+    def __init__(self, model_name_or_path: str = "bert-base-cased"):
+        from transformers import AutoTokenizer, BertModel
+
+        from cvpr23_lfdm_tpu.models.bert import convert_hf_bert
+
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+        torch_model = BertModel.from_pretrained(model_name_or_path)
+        self.params = convert_hf_bert(torch_model.state_dict())
+        del torch_model
+
+    def __call__(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        from cvpr23_lfdm_tpu.models.bert import bert_embed
+
+        none_mask = np.array([t == NULL_TEXT for t in texts], dtype=bool)
+        enc = self.tokenizer(list(texts), padding=True, return_tensors="np")
+        emb = np.asarray(bert_embed(self.params, enc["input_ids"]))
+        emb[none_mask] = 0.0
+        return emb.astype(np.float32), none_mask
