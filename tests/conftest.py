@@ -42,6 +42,19 @@ def _install_reference_stubs():
         skimage.draw = draw
         sys.modules["skimage"] = skimage
         sys.modules["skimage.draw"] = draw
+    if "torchvision" not in sys.modules:
+        # reference LFAE/modules/model.py imports torchvision for VGG19;
+        # tests that touch Transform/equivariance never instantiate it
+        tv = types.ModuleType("torchvision")
+        models = types.ModuleType("torchvision.models")
+
+        def _unavailable(*a, **k):
+            raise RuntimeError("torchvision stub: VGG weights unavailable")
+
+        models.vgg19 = _unavailable
+        tv.models = models
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = models
 
 
 def reference_importable() -> bool:

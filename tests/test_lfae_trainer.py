@@ -91,6 +91,88 @@ def test_tps_jacobian_matches_reference_autograd(torch_transform):
     np.testing.assert_allclose(jax_j, ref_j, atol=1e-4)
 
 
+# --------------------------------------- equivariance loss end-to-end parity
+
+
+def test_equivariance_losses_match_reference_end_to_end(monkeypatch):
+    """Full composition vs the reference (LFAE/modules/model.py:189-215):
+    TPS-warp the driving frame (reflection grid_sample), region-predict it
+    with weight-identical nets, compute shift+affine equivariance losses."""
+    import torch
+
+    from tests.conftest import add_reference_to_path
+
+    add_reference_to_path()
+    from tests.ref_oracle import aligned_svd, sd_numpy, nchw
+    from LFAE.modules import region_predictor as ref_rp
+    from LFAE.modules.model import Transform
+
+    from cvpr23_lfdm_tpu.models.region_predictor import RegionPredictor
+    from cvpr23_lfdm_tpu.train.losses import equivariance_losses
+    from cvpr23_lfdm_tpu.utils import torch_convert as tc
+
+    K, IMG, BE, MF, NB = 4, 64, 8, 64, 3
+    torch.manual_seed(3)
+    ref = ref_rp.RegionPredictor(
+        block_expansion=BE, num_regions=K, num_channels=3, max_features=MF,
+        num_blocks=NB, temperature=0.1, estimate_affine=True,
+        scale_factor=0.25, pca_based=True, pad=3,
+    )
+    ref.eval()
+    monkeypatch.setattr(ref_rp, "svd", aligned_svd)
+
+    ours = RegionPredictor(
+        num_regions=K, block_expansion=BE, max_features=MF, num_blocks=NB,
+        temperature=0.1, scale_factor=0.25, pca_based=True, pad=3,
+    )
+    variables = jax.tree.map(
+        jnp.asarray, tc.convert_region_predictor(sd_numpy(ref), num_blocks=NB)
+    )
+
+    rng = np.random.default_rng(7)
+    bs, points = 2, 5
+    driving = rng.random((bs, IMG, IMG, 3)).astype(np.float32)
+    theta = (np.eye(2, 3)[None] + 0.05 * rng.standard_normal((bs, 2, 3))).astype(
+        np.float32
+    )
+    cparams = (0.005 * rng.standard_normal((bs, points**2))).astype(np.float32)
+
+    # ---- reference path (model.py:189-215)
+    t = Transform(bs, sigma_affine=0.05, sigma_tps=0.005, points_tps=points)
+    t.theta = torch.from_numpy(theta)
+    t.control_params = torch.from_numpy(cparams[:, None])
+    with torch.no_grad():
+        dri_t = nchw(driving)
+        transformed_frame = t.transform_frame(dri_t)
+        d_params = ref(dri_t)
+        tr_params = ref(transformed_frame)
+    shift_ref = torch.abs(
+        d_params["shift"] - t.warp_coordinates(tr_params["shift"])
+    ).mean()
+    jac = t.jacobian(tr_params["shift"].clone().requires_grad_(True))
+    affine_tr = torch.matmul(jac, tr_params["affine"])
+    value = torch.matmul(torch.inverse(d_params["affine"]), affine_tr)
+    value = value * torch.sign(value[:, :, 0:1, 0:1])
+    affine_ref = torch.abs(torch.eye(2).view(1, 1, 2, 2) - value).mean()
+
+    # ---- ours
+    from cvpr23_lfdm_tpu.ops.grid import make_coordinate_grid
+
+    transform = TPSTransform(
+        jnp.asarray(theta),
+        make_coordinate_grid((points, points)).reshape(-1, 2),
+        jnp.asarray(cparams),
+    )
+    transformed_ours = transform.transform_frame(jnp.asarray(driving))
+    d_ours = ours.apply(variables, jnp.asarray(driving), train=False)
+    tr_ours = ours.apply(variables, transformed_ours, train=False)
+    shift_l, affine_l = equivariance_losses(
+        d_ours, tr_ours, transform, revert_axis_swap=True
+    )
+    np.testing.assert_allclose(float(shift_l), float(shift_ref), atol=2e-4)
+    np.testing.assert_allclose(float(affine_l), float(affine_ref), atol=2e-3)
+
+
 # ----------------------------------------------------------- trainer smoke
 
 
