@@ -43,18 +43,26 @@ def _install_reference_stubs():
         sys.modules["skimage"] = skimage
         sys.modules["skimage.draw"] = draw
     if "torchvision" not in sys.modules:
-        # reference LFAE/modules/model.py imports torchvision for VGG19;
-        # tests that touch Transform/equivariance never instantiate it
+        # reference LFAE/modules/model.py imports torchvision.models (VGG19)
+        # and DM/modules/video_flow_diffusion.py imports .transforms (gif
+        # helpers); neither is exercised by the parity tests
         tv = types.ModuleType("torchvision")
         models = types.ModuleType("torchvision.models")
+        transforms = types.ModuleType("torchvision.transforms")
 
         def _unavailable(*a, **k):
-            raise RuntimeError("torchvision stub: VGG weights unavailable")
+            raise RuntimeError("torchvision stub: weights unavailable")
 
         models.vgg19 = _unavailable
+        # the reference calls T.ToTensor() at import time (a default arg,
+        # video_flow_diffusion.py:940) — must construct, never run
+        transforms.ToTensor = type("ToTensor", (), {"__call__": _unavailable})
+        transforms.ToPILImage = type("ToPILImage", (), {"__call__": _unavailable})
         tv.models = models
+        tv.transforms = transforms
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = models
+        sys.modules["torchvision.transforms"] = transforms
 
 
 def reference_importable() -> bool:
