@@ -32,21 +32,14 @@ WARMUP = 2
 ITERS = 10
 
 
-def _enable_compile_cache() -> None:
-    """Persistent XLA compilation cache: reruns skip the ~1-2 min compile."""
+def main() -> None:
     import os
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    from cvpr23_lfdm_tpu.utils.profiling import enable_compile_cache
 
-
-def main() -> None:
-    _enable_compile_cache()
+    enable_compile_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    )
     from cvpr23_lfdm_tpu.config import mug_config
     from cvpr23_lfdm_tpu.diffusion.flow_diffusion import FlowDiffusion
     from cvpr23_lfdm_tpu.models.flow_autoenc import init_lfae_vars

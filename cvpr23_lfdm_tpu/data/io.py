@@ -43,7 +43,9 @@ def read_image(path: str) -> np.ndarray:
     formats cv2 can't read."""
     import cv2
 
-    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    # IGNORE_ORIENTATION: the reference's imageio.imread does NOT apply
+    # EXIF rotation (DM/datasets_mug.py:90) — keep raw-pixel parity
+    img = cv2.imread(path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
     if img is not None:
         return np.ascontiguousarray(img[:, :, ::-1])
     import imageio.v2 as imageio

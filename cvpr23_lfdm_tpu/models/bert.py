@@ -15,8 +15,10 @@ torch `transformers.BertModel` with shared random weights.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,15 +92,31 @@ class BertEncoder(nn.Module):
         return x
 
 
+@functools.lru_cache(maxsize=4)
+def _jitted_embed(spec: BertSpec):
+    """One jitted forward per spec (eager 12-layer dispatch is ~ms/op over
+    tunneled devices); jit re-specializes per padded sequence length."""
+
+    @jax.jit
+    def run(params, input_ids):
+        hidden = BertEncoder(spec).apply({"params": params}, input_ids)
+        mask = (input_ids != 0).astype(hidden.dtype)[:, 1:, None]
+        num = (hidden[:, 1:] * mask).sum(axis=1)
+        den = mask.sum(axis=1)
+        return num / (den + 1e-8)
+
+    return run
+
+
 def bert_embed(params, input_ids, spec: BertSpec = BertSpec()) -> jnp.ndarray:
     """Reference `bert_embed` semantics (DM/modules/text.py:56-89): final
     hidden states, masked mean over tokens EXCLUDING [CLS], eps 1e-8."""
     input_ids = jnp.asarray(input_ids)
-    hidden = BertEncoder(spec).apply({"params": params}, input_ids)
-    mask = (input_ids != 0).astype(hidden.dtype)[:, 1:, None]
-    num = (hidden[:, 1:] * mask).sum(axis=1)
-    den = mask.sum(axis=1)
-    return num / (den + 1e-8)
+    assert input_ids.shape[1] <= spec.max_position_embeddings, (
+        "sequence longer than max_position_embeddings — tokenize with "
+        "truncation"
+    )
+    return _jitted_embed(spec)(params, input_ids)
 
 
 def convert_hf_bert(sd: dict, spec: BertSpec = BertSpec()) -> dict:

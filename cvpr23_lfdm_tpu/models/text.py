@@ -179,7 +179,11 @@ class JaxBertTextEncoder:
         from cvpr23_lfdm_tpu.models.bert import bert_embed
 
         none_mask = np.array([t == NULL_TEXT for t in texts], dtype=bool)
-        enc = self.tokenizer(list(texts), padding=True, return_tensors="np")
-        emb = np.asarray(bert_embed(self.params, enc["input_ids"]))
+        enc = self.tokenizer(
+            list(texts), padding=True, truncation=True, max_length=512,
+            return_tensors="np",
+        )
+        # np.array copies (np.asarray of a jax.Array is read-only)
+        emb = np.array(bert_embed(self.params, enc["input_ids"]))
         emb[none_mask] = 0.0
         return emb.astype(np.float32), none_mask

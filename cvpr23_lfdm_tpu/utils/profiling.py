@@ -17,6 +17,19 @@ import jax
 import jax.numpy as jnp
 
 
+def enable_compile_cache(cache_dir: str) -> None:
+    """Persistent XLA compilation cache; safe no-op when unsupported or the
+    directory is not writable (e.g. read-only checkouts)."""
+    import os
+
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a device trace: `with trace("/tmp/trace"): run_step()`."""

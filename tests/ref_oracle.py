@@ -69,14 +69,8 @@ def install_dm_stubs():
         ret.RotaryEmbedding = RotaryEmbedding
         sys.modules["rotary_embedding_torch"] = ret
 
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tr = types.ModuleType("torchvision.transforms")
-        tr.ToPILImage = lambda *a, **k: (lambda x: x)
-        tr.ToTensor = lambda *a, **k: (lambda x: x)
-        tv.transforms = tr
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tr
+    # torchvision stub is owned by tests/conftest.py::_install_reference_stubs
+    # (registered before any reference import)
 
     if "tqdm" not in sys.modules:
         tq = types.ModuleType("tqdm")
