@@ -78,6 +78,40 @@ def test_sharded_grads_match_single_device():
     np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref), atol=1e-5)
 
 
+def test_sampling_under_data_mesh():
+    """Serving scale-out: sample_video jits with the request batch sharded
+    over the data mesh (per-chip B=1 is this chip's best config; multi-chip
+    throughput scales by sharding requests)."""
+    from __graft_entry__ import _tiny_config, _init_vars
+    from cvpr23_lfdm_tpu.diffusion.flow_diffusion import FlowDiffusion
+
+    cfg = _tiny_config(num_frames=4)
+    model = FlowDiffusion(cfg.lfae, cfg.diffusion)
+    lfae_vars, unet_vars = _init_vars(model, cfg, batch=1)
+
+    mesh = make_mesh()
+    repl = NamedSharding(mesh, P())
+    lfae_vars = jax.device_put(lfae_vars, repl)
+    unet_vars = jax.device_put(unet_vars, repl)
+    rng = np.random.default_rng(0)
+    size = cfg.lfae.frame_shape
+    ref = jax.device_put(
+        jnp.asarray(rng.random((8, size, size, 3)), jnp.float32),
+        batch_sharding(mesh),
+    )
+    cond = jax.device_put(
+        jnp.asarray(rng.standard_normal((8, cfg.diffusion.cond_dim)), jnp.float32),
+        batch_sharding(mesh),
+    )
+
+    out = jax.jit(
+        lambda uv, lv, k, r, c: model.sample_video(uv, lv, k, r, c, 1.0)
+    )(unet_vars, lfae_vars, jax.random.PRNGKey(0), ref, cond)
+    out = jax.device_get(out)
+    assert out["out_vid"].shape == (8, 4, size, size, 3)
+    assert np.isfinite(out["out_vid"]).all()
+
+
 def test_shard_batch_places_on_mesh():
     mesh = make_mesh()
     batch = {"a": np.zeros((8, 3), np.float32)}
