@@ -49,7 +49,10 @@ class DMTrainer:
         )
         if self.mesh is None:
             self.mesh = make_mesh()
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._train_step = jax.jit(
+            self._train_step_impl, donate_argnums=(0,),
+            static_argnames=("with_monitoring",),
+        )
         self._sample = jax.jit(
             self._sample_impl, static_argnames=("cond_scale",)
         )
@@ -77,9 +80,16 @@ class DMTrainer:
 
     # ------------------------------------------------------------------ step
 
-    def _train_step_impl(self, state: DMTrainState, lfae_vars, rng, batch):
+    def _train_step_impl(
+        self, state: DMTrainState, lfae_vars, rng, batch, with_monitoring=False
+    ):
         """One optimization step (video_flow_diffusion_model.py:181-188:
-        backward on the diffusion loss only, `only_use_flow`)."""
+        backward on the diffusion loss only, `only_use_flow`).
+
+        `with_monitoring` adds the 40-frame pred_x0 decode + rec losses —
+        logging-only and ~25% of the step cost (the reference pays it every
+        step, DM train :158-179), so it compiles as a separate variant and
+        runs only on log steps."""
 
         def loss_fn(params):
             unet_vars = {**state.unet_vars, "params": params}
@@ -91,7 +101,7 @@ class DMTrainer:
                 batch["real_vid"],
                 batch["cond"],
                 batch.get("none_cond_mask"),
-                with_monitoring=True,
+                with_monitoring=with_monitoring,
                 only_use_flow=self.cfg.dm_train.only_use_flow,
             )
             return loss, aux
@@ -106,15 +116,20 @@ class DMTrainer:
         )
         metrics = {
             "loss": aux["loss"],
-            "rec_loss": aux["rec_loss"],
-            "rec_warp_loss": aux["rec_warp_loss"],
             "grad_norm": optax.global_norm(grads),
         }
+        if with_monitoring:
+            metrics["rec_loss"] = aux["rec_loss"]
+            metrics["rec_warp_loss"] = aux["rec_warp_loss"]
         return new_state, metrics
 
-    def train_step(self, state: DMTrainState, rng, batch) -> tuple[DMTrainState, dict]:
+    def train_step(
+        self, state: DMTrainState, rng, batch, with_monitoring: bool = False
+    ) -> tuple[DMTrainState, dict]:
         batch = shard_batch(batch, self.mesh)
-        return self._train_step(state, self.lfae_vars, rng, batch)
+        return self._train_step(
+            state, self.lfae_vars, rng, batch, with_monitoring=with_monitoring
+        )
 
     # ------------------------------------------------------------------ sample
 
@@ -159,8 +174,11 @@ class DMTrainer:
             batch = next(batches)
             if viz_fn and viz_every and (i + 1) % viz_every == 0:
                 viz_fn(state, batch, i + 1)
-            state, metrics = self.train_step(state, step_rng, batch)
-            if log_every and (i + 1) % log_every == 0:
+            log_now = bool(log_every and (i + 1) % log_every == 0)
+            state, metrics = self.train_step(
+                state, step_rng, batch, with_monitoring=log_now
+            )
+            if log_now:
                 m = jax.device_get(metrics)
                 dt = time.perf_counter() - t0
                 print(

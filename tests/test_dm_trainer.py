@@ -38,7 +38,10 @@ def test_dm_train_and_sample():
         jax.tree_util.tree_leaves(state.unet_vars["params"])[0]
     )
     state, metrics = trainer.train_step(state, jax.random.PRNGKey(2), batch)
-    state, metrics = trainer.train_step(state, jax.random.PRNGKey(3), batch)
+    assert "rec_loss" not in metrics  # fast variant skips the decode
+    state, metrics = trainer.train_step(
+        state, jax.random.PRNGKey(3), batch, with_monitoring=True
+    )
     m = jax.device_get(metrics)
     assert np.isfinite(m["loss"]) and np.isfinite(m["rec_loss"])
     assert int(jax.device_get(state.step)) == 2
