@@ -71,8 +71,10 @@ class LFAEConfig:
     num_regions: int = 10
     revert_axis_swap: bool = True
     frame_shape: int = 128
-    # generator conv compute dtype ("bfloat16" for serving; fp32 keeps
-    # bit-parity with the torch reference)
+    # stage-1 conv compute dtype. "bfloat16" helps the SERVING decode (the
+    # generator is the only stage-1 net on that path); for TRAINING leave
+    # fp32 — measured on v5e the hourglass BN cast churn makes the bf16
+    # pseudo-GT step 45% slower, and fp32 keeps torch parity.
     compute_dtype: str = "float32"
     region_predictor: RegionPredictorConfig = field(default_factory=RegionPredictorConfig)
     bg_predictor: BGPredictorConfig = field(default_factory=BGPredictorConfig)

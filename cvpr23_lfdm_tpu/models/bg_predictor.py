@@ -29,6 +29,7 @@ class BGMotionPredictor(nn.Module):
     num_blocks: int = 5
     bg_type: str = "affine"  # zero | shift | affine | perspective
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None  # encoder conv compute dtype
 
     @nn.compact
     def __call__(self, source, driving, train: bool = False) -> jnp.ndarray:
@@ -41,9 +42,9 @@ class BGMotionPredictor(nn.Module):
 
         feats = Encoder(
             self.block_expansion, self.num_blocks, self.max_features,
-            axis_name=self.axis_name, name="encoder",
+            axis_name=self.axis_name, dtype=self.dtype, name="encoder",
         )(jnp.concatenate([source, driving], axis=-1), train)
-        pooled = jnp.mean(feats[-1], axis=(1, 2))
+        pooled = jnp.mean(feats[-1].astype(jnp.float32), axis=(1, 2))
 
         n_out = {"shift": 2, "affine": 6, "perspective": 8}[self.bg_type]
         pred = nn.Dense(

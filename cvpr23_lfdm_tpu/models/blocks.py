@@ -120,13 +120,14 @@ class Encoder(nn.Module):
     num_blocks: int = 3
     max_features: int = 256
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> list[jnp.ndarray]:
         outs = [x]
         for i, ch in enumerate(_encoder_channels(self.block_expansion, self.num_blocks, self.max_features)):
             outs.append(
-                DownBlock2d(ch, 3, axis_name=self.axis_name, name=f"down_{i}")(outs[-1], train)
+                DownBlock2d(ch, 3, axis_name=self.axis_name, dtype=self.dtype, name=f"down_{i}")(outs[-1], train)
             )
         return outs
 
@@ -141,6 +142,7 @@ class Decoder(nn.Module):
     num_blocks: int = 3
     max_features: int = 256
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False) -> jnp.ndarray:
@@ -148,7 +150,7 @@ class Decoder(nn.Module):
         out = feats.pop()
         for j, i in enumerate(reversed(range(self.num_blocks))):
             ch = min(self.max_features, self.block_expansion * (2**i))
-            out = UpBlock2d(ch, 3, axis_name=self.axis_name, name=f"up_{j}")(out, train)
+            out = UpBlock2d(ch, 3, axis_name=self.axis_name, dtype=self.dtype, name=f"up_{j}")(out, train)
             out = jnp.concatenate([out, feats.pop()], axis=-1)
         return out
 
@@ -160,16 +162,17 @@ class Hourglass(nn.Module):
     num_blocks: int = 3
     max_features: int = 256
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> jnp.ndarray:
         feats = Encoder(
             self.block_expansion, self.num_blocks, self.max_features,
-            axis_name=self.axis_name, name="encoder",
+            axis_name=self.axis_name, dtype=self.dtype, name="encoder",
         )(x, train)
         return Decoder(
             self.block_expansion, self.num_blocks, self.max_features,
-            axis_name=self.axis_name, name="decoder",
+            axis_name=self.axis_name, dtype=self.dtype, name="decoder",
         )(feats, train)
 
     @staticmethod

@@ -18,7 +18,11 @@ from cvpr23_lfdm_tpu.models.region_predictor import RegionPredictor
 
 def build_lfae_modules(cfg: LFAEConfig, axis_name: str | None = None):
     """Construct the three stage-1 modules from a typed config."""
+    dtype = (
+        jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype != "float32" else None
+    )
     region = RegionPredictor(
+        dtype=dtype,
         num_regions=cfg.num_regions,
         block_expansion=cfg.region_predictor.block_expansion,
         max_features=cfg.region_predictor.max_features,
@@ -30,6 +34,7 @@ def build_lfae_modules(cfg: LFAEConfig, axis_name: str | None = None):
         axis_name=axis_name,
     )
     bg = BGMotionPredictor(
+        dtype=dtype,
         block_expansion=cfg.bg_predictor.block_expansion,
         max_features=cfg.bg_predictor.max_features,
         num_blocks=cfg.bg_predictor.num_blocks,
@@ -39,8 +44,9 @@ def build_lfae_modules(cfg: LFAEConfig, axis_name: str | None = None):
     import dataclasses
 
     pf = dataclasses.asdict(cfg.generator.pixelwise_flow)
+    pf["dtype"] = dtype
     generator = Generator(
-        dtype=jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype != "float32" else None,
+        dtype=dtype,
         num_channels=cfg.num_channels,
         num_regions=cfg.num_regions,
         block_expansion=cfg.generator.block_expansion,

@@ -43,6 +43,7 @@ class PixelwiseFlowPredictor(nn.Module):
     estimate_occlusion_map: bool = True
     revert_axis_swap: bool = True
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None  # hourglass conv compute dtype
 
     def _heatmaps(self, spatial_size, driving_params, source_params):
         """Difference-of-gaussians region maps (pixelwise_flow_predictor.py:48-64).
@@ -122,7 +123,7 @@ class PixelwiseFlowPredictor(nn.Module):
 
         prediction = Hourglass(
             self.block_expansion, self.num_blocks, self.max_features,
-            axis_name=self.axis_name, name="hourglass",
+            axis_name=self.axis_name, dtype=self.dtype, name="hourglass",
         )(predictor_input, train)
 
         mask = nn.Conv(kp1, (7, 7), padding=[(3, 3), (3, 3)], name="mask")(prediction)

@@ -35,6 +35,7 @@ class RegionPredictor(nn.Module):
     pca_based: bool = True
     pad: int = 3
     axis_name: str | None = None
+    dtype: jnp.dtype | None = None  # hourglass conv compute dtype
 
     @nn.compact
     def __call__(self, image, train: bool = False) -> dict:
@@ -44,7 +45,7 @@ class RegionPredictor(nn.Module):
 
         feature_map = Hourglass(
             self.block_expansion, self.num_blocks, self.max_features,
-            axis_name=self.axis_name, name="predictor",
+            axis_name=self.axis_name, dtype=self.dtype, name="predictor",
         )(image, train)
 
         pad = self.pad
