@@ -71,7 +71,16 @@ class DMVideoDataset:
 
     `__getitem__` -> {video [F,H,W,3], text, name}. With `combos=True`,
     indexes (subject x class) pairs and yields the first take of each combo
-    (the *_gen evaluation protocol, datasets_mug.py:203-323)."""
+    (the *_gen evaluation protocol, datasets_mug.py:203-323).
+
+    `mean` is the reference's per-channel pixel-mean knob (0-255 scale,
+    subtracted after resize and before /255, datasets_mug.py:109-113).
+    Every shipped reference script passes MEAN=(0,0,0) (e.g.
+    DM/train_video_flow_diffusion_mug.py:50,193), so the default here is
+    zeros and videos land in [0,1]; the (128,128,128) seen in the MUG
+    class signatures (datasets_mug.py:16,119) is a dead default that no
+    reference entry point uses — kept available for checkpoint
+    reproduction experiments."""
 
     def __init__(
         self,
@@ -83,6 +92,7 @@ class DMVideoDataset:
         color_jitter: bool = True,
         sampling: str = "random",
         combos: bool = False,
+        mean: tuple[float, float, float] = (0.0, 0.0, 0.0),
         seed: int = 0,
     ):
         self.spec = spec
@@ -90,6 +100,7 @@ class DMVideoDataset:
         self.image_size = image_size
         self.color_jitter = color_jitter
         self.sampling = sampling
+        self.mean = np.asarray(mean, np.float32)
         self._rng = _ThreadLocalRNG(seed)
         entries = _split_entries(spec, root, split)
         if combos:
@@ -122,6 +133,11 @@ class DMVideoDataset:
                 rng, clip, shuffle_order=False, **DM_JITTER
             )
         clip = native.pad_resize_batch_f32(clip, self.image_size)
+        if self.mean.any():
+            # reference order: jitter -> resize -> (x - mean) -> /255
+            # (datasets_mug.py:106-113); our clip is already /255, so
+            # subtract mean/255 after the resize — same output.
+            clip = clip - self.mean / 255.0
         return {
             "video": clip.astype(np.float32),
             "text": e.class_name,

@@ -51,10 +51,19 @@ class VideoEntry:
 
 
 def list_mug_videos(root: str, subjects) -> list[VideoEntry]:
-    """datasets_mug.py:30-49 + name scheme :56-58."""
+    """datasets_mug.py:30-49 + name scheme :56-58.
+
+    The reference enumerates session subjects twice — literally
+    `for session_name in ["session0", "session0"]` (datasets_mug.py:41,
+    LFAE/mug_dataset.py:64) — doubling those videos' sampling/eval
+    weight. Reproduced for protocol parity. The train split contains no
+    session subjects (002/003/049 are all outside train_ID), so this
+    only affects the test split (subjects 002 and 049)."""
     out = []
     for sub in subjects:
-        levels = ["session0"] if sub in MUG_SESSION_SUBJECTS else [None]
+        levels = (
+            ["session0", "session0"] if sub in MUG_SESSION_SUBJECTS else [None]
+        )
         for session in levels:
             for exp in MUG_CLASSES:
                 d = (

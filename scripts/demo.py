@@ -23,6 +23,11 @@ def main() -> None:
     p.add_argument("--cond-scale", type=float, default=1.0)
     p.add_argument("--sampling-steps", type=int, default=10, help="DDIM steps")
     p.add_argument("--classes", nargs="*", default=None, help="subset of class texts")
+    p.add_argument(
+        "--mean", type=float, nargs=3, default=(0.0, 0.0, 0.0),
+        help="per-channel pixel mean subtracted from the ref image, 0-255 "
+        "scale (demo_mug.py:116: ref_img - MEAN, MEAN=(0,0,0))",
+    )
     args = p.parse_args()
     setup_platform(args)
 
@@ -69,6 +74,7 @@ def main() -> None:
 
     if args.ref_image:
         img = pad_resize(read_image(args.ref_image), size).astype(np.float32) / 255.0
+        img = img - np.asarray(args.mean, np.float32) / 255.0
     else:
         print("warning: no --ref-image; using a synthetic blob frame")
         from cvpr23_lfdm_tpu.data.synthetic import _blob_video

@@ -23,6 +23,11 @@ def main() -> None:
     p.add_argument("--sampling-steps", type=int, default=10)
     p.add_argument("--num-videos", type=int, default=4)
     p.add_argument("--save-video", action="store_true")
+    p.add_argument(
+        "--mean", type=float, nargs=3, default=(0.0, 0.0, 0.0),
+        help="per-channel pixel mean, 0-255 scale (reference MEAN constant; "
+        "every reference script uses (0,0,0))",
+    )
     args = p.parse_args()
     setup_platform(args)
 
@@ -70,7 +75,8 @@ def main() -> None:
     dataset = DMVideoDataset(
         get_spec(args.dataset), root, "test", combos=True,
         num_frames=cfg.diffusion.num_frames, image_size=cfg.lfae.frame_shape,
-        color_jitter=False, sampling="uniform", seed=args.seed,
+        color_jitter=False, sampling="uniform", mean=tuple(args.mean),
+        seed=args.seed,
     )
 
     @jax.jit

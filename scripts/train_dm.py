@@ -22,6 +22,11 @@ def main() -> None:
     p.add_argument("--batch-size", type=int, default=0)
     p.add_argument("--num-steps", type=int, default=0)
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--mean", type=float, nargs=3, default=(0.0, 0.0, 0.0),
+        help="per-channel pixel mean, 0-255 scale (reference MEAN constant; "
+        "every reference script uses (0,0,0))",
+    )
     args = p.parse_args()
     setup_platform(args)
 
@@ -44,6 +49,7 @@ def main() -> None:
         num_frames=cfg.diffusion.num_frames,
         image_size=cfg.lfae.frame_shape,
         sampling=tc.frame_sampling,
+        mean=tuple(args.mean),
         seed=args.seed,
     )
     steps_per_epoch = max(1, len(dataset) // batch_size)

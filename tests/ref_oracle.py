@@ -77,7 +77,10 @@ def install_dm_stubs():
         tq.tqdm = lambda it, *a, **k: it
         sys.modules["tqdm"] = tq
 
-    _torch.Tensor.cuda = lambda self, *a, **k: self  # CPU-only image
+    # CPU-only image: the reference hard-codes .cuda() on tensors and
+    # whole modules (video_flow_diffusion_model.py:38-56)
+    _torch.Tensor.cuda = lambda self, *a, **k: self
+    _torch.nn.Module.cuda = lambda self, *a, **k: self
 
 
 def numpy_eigh_2x2_aligned(c: np.ndarray):

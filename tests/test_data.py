@@ -193,7 +193,26 @@ def test_mug_session_subject_layout(tmp_path):
     spec = get_spec("mug")
     entries = spec.list_videos(str(tmp_path), ["002", "008"])
     names = sorted(e.name for e in entries)
-    assert names == ["002_session0_anger_take000", "008_anger_take000"]
+    # session subjects are listed TWICE, reproducing the reference's
+    # `for session_name in ["session0", "session0"]` (datasets_mug.py:41)
+    assert names == [
+        "002_session0_anger_take000",
+        "002_session0_anger_take000",
+        "008_anger_take000",
+    ]
+
+
+def test_dm_dataset_mean_subtraction(corpora):
+    """mean knob: (x - mean)/255 protocol (datasets_mug.py:109-113)."""
+    spec = get_spec("mug")
+    kw = dict(
+        split="train", num_frames=4, image_size=32, color_jitter=False,
+        sampling="uniform", seed=3,
+    )
+    base = DMVideoDataset(spec, corpora["mug"], **kw)
+    shifted = DMVideoDataset(spec, corpora["mug"], mean=(128, 128, 128), **kw)
+    a, b = base[0]["video"], shifted[0]["video"]
+    np.testing.assert_allclose(b, a - 128.0 / 255.0, atol=1e-6)
 
 
 def test_natops_crop_applied(corpora):
