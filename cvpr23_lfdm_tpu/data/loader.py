@@ -70,6 +70,18 @@ class PrefetchLoader:
         batch_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that re-checks `stop` so an abandoned iterator
+            (consumer gone, queue full) can't wedge the producer thread —
+            and its worker pool — forever."""
+            while not stop.is_set():
+                try:
+                    batch_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
@@ -77,9 +89,10 @@ class PrefetchLoader:
                         if stop.is_set():
                             return
                         samples = list(pool.map(self.dataset.__getitem__, idx))
-                        batch_q.put(collate(samples))
+                        if not put_or_stop(collate(samples)):
+                            return
             except BaseException as e:  # surface worker failures, don't hang
-                batch_q.put(e)
+                put_or_stop(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -280,23 +280,39 @@ class GaussianDiffusion:
         x1: jnp.ndarray, x2: jnp.ndarray, fea: jnp.ndarray,
         cond=None, cond_scale: float = 1.0,
         t: int | None = None, lam: float = 0.5,
+        noise1: jnp.ndarray | None = None,
+        noise2: jnp.ndarray | None = None,
+        noise_seq: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """Latent interpolation (video_flow_diffusion.py:832-846): noise both
-        volumes to step `t`, lerp, then ancestrally denoise the remaining
-        steps — as one `lax.scan`."""
+        volumes to step `t` with INDEPENDENT gaussians (the reference
+        q_samples each with its own randn), lerp, then ancestrally denoise
+        the remaining steps — as one `lax.scan`.
+
+        NOTE the reference's interpolate is dead code that would crash if
+        called (it invokes `p_sample(img, t)` without the required `fea`
+        argument, :844); this is the repaired semantics — conditioning
+        threads through like every other sampler. `noise*` args exist for
+        parity tests."""
         assert x1.shape == x2.shape
         b, f = x1.shape[:2]
         t = self.timesteps - 1 if t is None else t
-        key_n, key_loop = jax.random.split(rng)
+        key_n1, key_n2, key_loop = jax.random.split(rng, 3)
         tb = jnp.full((b,), t, jnp.int32)
-        noise = jax.random.normal(key_n, x1.shape, x1.dtype)
-        img = (1 - lam) * self.q_sample(x1, tb, noise) + lam * self.q_sample(
-            x2, tb, noise
+        if noise1 is None:
+            noise1 = jax.random.normal(key_n1, x1.shape, x1.dtype)
+        if noise2 is None:
+            noise2 = jax.random.normal(key_n2, x1.shape, x1.dtype)
+        img = (1 - lam) * self.q_sample(x1, tb, noise1) + lam * self.q_sample(
+            x2, tb, noise2
         )
         fea_1 = fea[:, None]
         ts = jnp.arange(t - 1, -1, -1)
         keys = jax.random.split(key_loop, t)
-        noise_seq = jax.vmap(lambda k: jax.random.normal(k, x1.shape, x1.dtype))(keys)
+        if noise_seq is None:
+            noise_seq = jax.vmap(
+                lambda k: jax.random.normal(k, x1.shape, x1.dtype)
+            )(keys)
 
         def step(img, inp):
             t_scalar, noise = inp

@@ -56,20 +56,30 @@ def evaluate(
     num_batches: int | None = None,
     save_video_dir: str | None = None,
     image_size: int = 128,
+    frame_chunk: int = 8,
 ) -> dict:
     """Run the eval over a DMVideoDataset (test split, uniform sampling,
-    no jitter) and return {"out_loss", "warp_loss"}."""
+    no jitter) and return {"out_loss", "warp_loss"}.
+
+    Frames fold into the batch axis `frame_chunk` at a time: the full
+    reference batch (10 videos x 40 frames = 400 concurrent 128 LFAE
+    passes) overflows one v5e's 16G HBM, and chunking keeps one compiled
+    shape while bounding activation memory."""
     from cvpr23_lfdm_tpu.data.loader import PrefetchLoader
     from cvpr23_lfdm_tpu.utils.viz import conf2fig, grid2fig, save_gif, to_uint8
 
     run = make_reconstruct_fn(cfg)
+    # shuffle=False so the default pass covers exactly the full test split
+    # once (the reference evaluates the whole split in order,
+    # test_flowautoenc_mug.py:131-171); ceil so the tail partial batch of
+    # the infinite loader's first epoch is included, not silently dropped.
     loader = PrefetchLoader(
-        dataset, batch_size, shuffle=True, num_workers=4, drop_last=False
+        dataset, batch_size, shuffle=False, num_workers=4, drop_last=False
     )
     out_loss = warp_loss = 0.0
     num_sample = 0
     total = num_batches if num_batches is not None else max(
-        1, len(dataset) // batch_size
+        1, -(-len(dataset) // batch_size)
     )
     it = iter(loader)
     cnt = 0
@@ -77,7 +87,18 @@ def evaluate(
         batch = next(it)
         vid = jnp.asarray(batch["video"])
         ref = vid[:, 0]
-        out = jax.device_get(run(lfae_vars, ref, vid))
+        f = vid.shape[1]
+        chunks = []
+        for s in range(0, f, frame_chunk):
+            piece = vid[:, s : s + frame_chunk]
+            if piece.shape[1] < frame_chunk:  # ragged tail: pad, crop after
+                pad = frame_chunk - piece.shape[1]
+                piece = jnp.concatenate([piece, piece[:, -1:].repeat(pad, 1)], 1)
+            chunks.append(jax.device_get(run(lfae_vars, ref, piece)))
+        out = {
+            k: np.concatenate([c[k] for c in chunks], axis=1)[:, :f]
+            for k in chunks[0]
+        }
         v = np.asarray(batch["video"])
         out_loss += np.abs(v - out["prediction"]).sum()
         warp_loss += np.abs(v - out["deformed"]).sum()

@@ -238,6 +238,29 @@ def test_loader_propagates_worker_failure():
         next(iter(loader))
 
 
+def test_loader_producer_exits_when_iterator_abandoned():
+    """Abandoning an iterator mid-epoch must not leave the producer thread
+    blocked on a full queue (it re-checks the stop event while putting)."""
+    import threading
+    import time
+
+    class Tiny:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"x": np.zeros((2,), np.float32)}
+
+    before = threading.active_count()
+    it = iter(PrefetchLoader(Tiny(), batch_size=4, num_workers=2, prefetch=2))
+    next(it)  # producer running, queue fills up behind us
+    it.close()  # abandon: generator finally-block sets the stop event
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+
+
 def test_loader_rejects_empty_dataset():
     with pytest.raises(ValueError, match="empty dataset"):
         PrefetchLoader([], batch_size=2)
@@ -257,6 +280,48 @@ def test_dataset_rng_thread_isolation(corpora):
     for item in out:
         assert item["video"].shape == (6, 32, 32, 3)
         assert np.isfinite(item["video"]).all()
+
+
+def test_flowautoenc_evaluate_covers_full_split(corpora):
+    """ceil-batch counting + ragged frame chunking: every held-out video is
+    scored exactly once (the reference evaluates the whole split)."""
+    import jax
+
+    from __graft_entry__ import _tiny_config
+    from cvpr23_lfdm_tpu.eval import flowautoenc
+    from cvpr23_lfdm_tpu.models.flow_autoenc import init_lfae_vars
+
+    cfg = _tiny_config(num_frames=5).lfae
+    lfae_vars = init_lfae_vars(jax.random.PRNGKey(0), cfg)
+    spec = get_spec("mug")
+    dataset = DMVideoDataset(
+        spec, corpora["mug"], split="train", num_frames=5,
+        image_size=cfg.frame_shape, color_jitter=False, sampling="uniform",
+    )
+    assert len(dataset) == 4
+    scored = []
+    orig = flowautoenc.make_reconstruct_fn
+
+    def counting(c):
+        run = orig(c)
+
+        def wrapped(v, ref, vid):
+            scored.append(vid.shape)
+            return run(v, ref, vid)
+
+        return wrapped
+
+    flowautoenc.make_reconstruct_fn = counting
+    try:
+        # batch 3 over 4 videos -> ceil = 2 batches (3 + 1);
+        # frame_chunk 2 over 5 frames -> ragged tail chunk padded+cropped
+        result = flowautoenc.evaluate(
+            lfae_vars, cfg, dataset, batch_size=3, frame_chunk=2
+        )
+    finally:
+        flowautoenc.make_reconstruct_fn = orig
+    assert np.isfinite(result["out_loss"]) and np.isfinite(result["warp_loss"])
+    assert sum(s[0] for s in scored[::3]) == 4  # 3 chunks per batch
 
 
 def test_loader_and_repeater(corpora):

@@ -264,6 +264,56 @@ def test_ddim_cond_scale_2_parity(diffusion_pair, monkeypatch):
     )
 
 
+def test_interpolate_parity(diffusion_pair, monkeypatch):
+    """GaussianDiffusion.interpolate vs the reference (:832-846).
+
+    The reference's interpolate is dead code — it calls
+    `self.p_sample(img, t)` without the required `fea` argument and would
+    TypeError. The oracle here wraps p_sample to supply fea/cond (the
+    obvious intended call), which is exactly the repaired semantics our
+    implementation ships."""
+    ref_diff, mine, denoise = diffusion_pair
+    T_INTERP = 7
+    rng = np.random.RandomState(6)
+    fea = rng.randn(1, HW, HW, CIN - 3).astype(np.float32)
+    cond = rng.randn(1, COND).astype(np.float32)
+    shape = (1, F, HW, HW, 3)
+    x1 = np.tanh(rng.randn(*shape)).astype(np.float32)
+    x2 = np.tanh(rng.randn(*shape)).astype(np.float32)
+    noise1 = rng.randn(*shape).astype(np.float32)
+    noise2 = rng.randn(*shape).astype(np.float32)
+    noises = rng.randn(T_INTERP, *shape).astype(np.float32)
+
+    # q_sample(x1), q_sample(x2), then one randn_like per ancestral step
+    noise_iter = iter([noise1, noise2] + [noises[i] for i in range(T_INTERP)])
+    fake = lambda *a, **k: _to_torch_video(next(noise_iter))
+    monkeypatch.setattr(torch, "randn", fake)
+    monkeypatch.setattr(torch, "randn_like", fake)
+
+    fea_torch = torch.from_numpy(np.transpose(fea, (0, 3, 1, 2)))
+    orig_p_sample = ref_diff.p_sample
+    monkeypatch.setattr(
+        ref_diff, "p_sample",
+        lambda x, t: orig_p_sample(
+            x, t, fea_torch, cond=torch.from_numpy(cond), cond_scale=1.0
+        ),
+    )
+    with torch.no_grad():
+        ref_img = ref_diff.interpolate(
+            _to_torch_video(x1), _to_torch_video(x2), t=T_INTERP, lam=0.3
+        )
+    ours_img = mine.interpolate(
+        denoise, jax.random.PRNGKey(0), jnp.asarray(x1), jnp.asarray(x2),
+        jnp.asarray(fea), cond=jnp.asarray(cond), cond_scale=1.0,
+        t=T_INTERP, lam=0.3,
+        noise1=jnp.asarray(noise1), noise2=jnp.asarray(noise2),
+        noise_seq=jnp.asarray(noises),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_img), _from_torch_video(ref_img), atol=2e-3
+    )
+
+
 def test_ddpm_p_sample_loop_parity(diffusion_pair, monkeypatch):
     ref_diff, mine, denoise = diffusion_pair
     T = mine.timesteps

@@ -31,6 +31,34 @@ def _batch(cfg, bs=8):
     }
 
 
+def test_monitoring_does_not_change_grads():
+    """The pred_x0 decode is stop-gradient'd (flow_diffusion.py:213);
+    running it on log steps only (dm_trainer.py) must leave the gradient
+    bit-identical to the every-step reference cadence."""
+    cfg, trainer, state = _setup()
+    batch = {k: v[:2] for k, v in _batch(cfg).items()}
+    lfae_vars = trainer.lfae_vars
+    rng = jax.random.PRNGKey(7)
+
+    def grads(with_monitoring):
+        def loss_fn(params):
+            unet_vars = {**state.unet_vars, "params": params}
+            return trainer.model.loss(
+                unet_vars, lfae_vars, rng,
+                batch["ref_img"], batch["real_vid"], batch["cond"],
+                batch["none_cond_mask"],
+                with_monitoring=with_monitoring, only_use_flow=True,
+            )[0]
+
+        return jax.device_get(
+            jax.jit(jax.grad(loss_fn))(state.unet_vars["params"])
+        )
+
+    g_fast, g_mon = grads(False), grads(True)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fast), jax.tree_util.tree_leaves(g_mon)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_dm_train_and_sample():
     cfg, trainer, state = _setup()
     batch = _batch(cfg)
