@@ -24,6 +24,12 @@ class RegionPredictorConfig:
     temperature: float = 0.1
     scale_factor: float = 0.25
     pca_based: bool = True
+    # estimate_affine=True, pca_based=False selects the FOMM regression
+    # branch (region_predictor.py:44-49); all shipped configs use PCA
+    estimate_affine: bool = True
+    # reference fast_svd (external CUDA batched SVD, region_predictor.py:16-19)
+    # is a no-op here: the on-device closed-form 2x2 eig replaces both paths
+    fast_svd: bool = False
     pad: int = 3  # 3 for MUG; 0 for MHAD/NATOPS (config diff)
 
 

@@ -30,6 +30,7 @@ def build_lfae_modules(cfg: LFAEConfig, axis_name: str | None = None):
         temperature=cfg.region_predictor.temperature,
         scale_factor=cfg.region_predictor.scale_factor,
         pca_based=cfg.region_predictor.pca_based,
+        estimate_affine=cfg.region_predictor.estimate_affine,
         pad=cfg.region_predictor.pad,
         axis_name=axis_name,
     )

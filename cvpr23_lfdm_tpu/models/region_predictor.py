@@ -12,6 +12,16 @@ Returns a dict of region params:
   covar  [B, K, 2, 2]   spatial covariance of each region heatmap
   affine [B, K, 2, 2]   U sqrt(S) factor of covar
   heatmap [B, Hh, Wh, K] softmaxed region maps (channel-last)
+
+With `estimate_affine=True, pca_based=False` the FOMM regression branch
+is used instead (region_predictor.py:44-49, 95-107): a 4-channel conv
+head (zero weights, identity bias) predicts a per-pixel jacobian that is
+heatmap-averaged into `affine`, and `covar = affine @ affine^T`.
+
+The reference's `fast_svd` knob (region_predictor.py:16-19, an optional
+external CUDA batched SVD) has no TPU counterpart knob: both its paths
+compute the same factorization this module already gets from the
+closed-form on-device `sqrt_psd_2x2`.
 """
 
 from __future__ import annotations
@@ -33,6 +43,7 @@ class RegionPredictor(nn.Module):
     temperature: float = 0.1
     scale_factor: float = 0.25
     pca_based: bool = True
+    estimate_affine: bool = True
     pad: int = 3
     axis_name: str | None = None
     dtype: jnp.dtype | None = None  # hourglass conv compute dtype
@@ -63,7 +74,22 @@ class RegionPredictor(nn.Module):
         shift = jnp.sum(region[..., None] * grid, axis=1)  # [B, K, 2]
         out = {"shift": shift, "heatmap": region.reshape(b, hh, wh, k)}
 
-        if self.pca_based:
+        if self.estimate_affine and not self.pca_based:
+            # FOMM regression branch (region_predictor.py:44-49, 95-107):
+            # jacobian head zero-init'd to the identity transform, then
+            # heatmap-weighted spatial average per region.
+            jac_map = nn.Conv(
+                4, (7, 7), padding=[(pad, pad), (pad, pad)],
+                kernel_init=nn.initializers.zeros,
+                bias_init=lambda *a: jnp.array([1.0, 0.0, 0.0, 1.0]),
+                name="jacobian",
+            )(feature_map)
+            jac_map = jac_map.reshape(b, hh * wh, 4).astype(jnp.float32)
+            jac = jnp.einsum("bzk,bzc->bkc", region, jac_map)
+            jac = jac.reshape(b, k, 2, 2)
+            out["affine"] = jac
+            out["covar"] = jac @ jnp.swapaxes(jac, -1, -2)
+        elif self.pca_based:
             # covar = sum_z p(z) (z - mu)(z - mu)^T  (region_predictor.py:69-73)
             diff = grid - shift[:, None]  # [B, HW, K, 2]
             covar = jnp.einsum("bzk,bzki,bzkj->bkij", region, diff, diff)

@@ -81,6 +81,8 @@ def convert_region_predictor(sd, num_blocks: int = 5) -> dict:
     params, stats = {}, {}
     _convert_hourglass(params, stats, ("predictor",), sd, "predictor", num_blocks)
     _convert_conv(params, ("regions",), sd, "regions")
+    if "jacobian.weight" in sd:  # FOMM regression head (:44-49)
+        _convert_conv(params, ("jacobian",), sd, "jacobian")
     return {"params": params, "batch_stats": stats}
 
 

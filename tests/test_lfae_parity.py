@@ -95,6 +95,52 @@ def test_region_predictor_train_mode_batch_stats(region_pair):
     )
 
 
+def test_region_predictor_fomm_regression_parity():
+    """estimate_affine=True, pca_based=False: the FOMM jacobian-head branch
+    (region_predictor.py:44-49, 95-107) incl. covar = J J^T."""
+    torch.manual_seed(3)
+    ref = ref_rp.RegionPredictor(
+        block_expansion=BE, num_regions=K, num_channels=3, max_features=MF,
+        num_blocks=NB, temperature=0.1, estimate_affine=True, scale_factor=0.25,
+        pca_based=False, pad=3,
+    )
+    # perturb the zero-init'd jacobian head so the test is non-trivial
+    with torch.no_grad():
+        ref.jacobian.weight.add_(0.02 * torch.randn_like(ref.jacobian.weight))
+        ref.jacobian.bias.add_(0.1 * torch.randn_like(ref.jacobian.bias))
+    rng = np.random.RandomState(4)
+    x = rng.rand(2, IMG, IMG, 3).astype(np.float32)
+    _warm_bn(ref, nchw(x))
+    with torch.no_grad():
+        theirs = ref(nchw(x))
+    ours = RegionPredictor(
+        num_regions=K, block_expansion=BE, max_features=MF, num_blocks=NB,
+        temperature=0.1, scale_factor=0.25, pca_based=False,
+        estimate_affine=True, pad=3,
+    )
+    variables = jax.tree.map(
+        jnp.asarray, tc.convert_region_predictor(sd_numpy(ref), num_blocks=NB)
+    )
+    out = ours.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out["shift"]), theirs["shift"].numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["affine"]), theirs["affine"].numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["covar"]), theirs["covar"].numpy(), atol=2e-5)
+
+
+def test_region_predictor_fomm_identity_init():
+    """Fresh regression head predicts the identity affine (zero weights +
+    [1,0,0,1] bias, region_predictor.py:46-49)."""
+    ours = RegionPredictor(
+        num_regions=K, block_expansion=BE, max_features=MF, num_blocks=NB,
+        scale_factor=0.25, pca_based=False, estimate_affine=True, pad=3,
+    )
+    x = jnp.asarray(np.random.RandomState(5).rand(1, IMG, IMG, 3), jnp.float32)
+    variables = ours.init(jax.random.PRNGKey(0), x)
+    out = ours.apply(variables, x, train=False)
+    eye = np.broadcast_to(np.eye(2, dtype=np.float32), (1, K, 2, 2))
+    np.testing.assert_allclose(np.asarray(out["affine"]), eye, atol=1e-6)
+
+
 def test_bg_predictor_parity():
     torch.manual_seed(1)
     ref = ref_bg.BGMotionPredictor(
