@@ -87,17 +87,20 @@ DATASET_CLASSES = {"mug": MUG_CLASSES, "mhad": MHAD_CLASSES, "natops": NATOPS_CL
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "assets")
 
 
-def bert_masked_mean_embed(texts: list[str]) -> np.ndarray:
+def bert_masked_mean_embed(
+    texts: list[str], model_name_or_path: str = "bert-base-cased"
+) -> np.ndarray:
     """Reference `bert_embed(tokenize(texts))` semantics (DM/modules/text.py:56-89):
     final hidden states, masked mean over tokens excluding [CLS], eps 1e-8.
 
     Host-side, torch CPU; used only to (re)build embedding caches.
+    `model_name_or_path` may be a local HF checkpoint dir (weight drop).
     """
     import torch
     from transformers import AutoModel, AutoTokenizer
 
-    tok = AutoTokenizer.from_pretrained("bert-base-cased")
-    model = AutoModel.from_pretrained("bert-base-cased")
+    tok = AutoTokenizer.from_pretrained(model_name_or_path)
+    model = AutoModel.from_pretrained(model_name_or_path)
     model.eval()
     enc = tok(list(texts), padding=True, return_tensors="pt")
     with torch.no_grad():
@@ -111,6 +114,133 @@ def bert_masked_mean_embed(texts: list[str]) -> np.ndarray:
     num = (hidden[:, 1:] * mask).sum(1)
     den = mask.sum(1)
     return (num / (den + 1e-8)).numpy().astype(np.float32)
+
+
+def _is_punct(ch: str) -> bool:
+    cp = ord(ch)
+    if (
+        33 <= cp <= 47 or 58 <= cp <= 64 or 91 <= cp <= 96 or 123 <= cp <= 126
+    ):
+        return True
+    import unicodedata
+
+    return unicodedata.category(ch).startswith("P")
+
+
+def _is_cjk(cp: int) -> bool:
+    return (
+        0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+        or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F
+    )
+
+
+class WordPieceTokenizer:
+    """Self-contained BERT tokenizer (basic + WordPiece) over a vocab.txt.
+
+    Implements the `bert-base-cased` pipeline the reference reaches through
+    torch.hub (DM/modules/text.py:17-50: batch_encode_plus with special
+    tokens + padding) without the transformers dependency — serving needs
+    only the vocab file. Parity-tested against transformers.BertTokenizer
+    in tests/test_bert.py.
+    """
+
+    def __init__(self, vocab_file: str, do_lower_case: bool = False):
+        with open(vocab_file, encoding="utf-8") as f:
+            tokens = [line.rstrip("\n") for line in f]
+        self.vocab = {t: i for i, t in enumerate(tokens)}
+        self.do_lower_case = do_lower_case
+        self.pad_id = self.vocab["[PAD]"]
+        self.cls_id = self.vocab["[CLS]"]
+        self.sep_id = self.vocab["[SEP]"]
+        self.unk = "[UNK]"
+
+    # --- basic tokenizer (transformers BasicTokenizer semantics) ---
+
+    def _clean(self, text: str) -> str:
+        import unicodedata
+
+        out = []
+        for ch in text:
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD:
+                continue
+            cat = unicodedata.category(ch)
+            if cat in ("Cc", "Cf") and ch not in "\t\n\r":
+                continue
+            if ch in "\t\n\r" or cat == "Zs":
+                out.append(" ")
+            elif _is_cjk(cp):
+                out.append(f" {ch} ")
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    def _split_punct(self, word: str) -> list[str]:
+        pieces, cur = [], []
+        for ch in word:
+            if _is_punct(ch):
+                if cur:
+                    pieces.append("".join(cur))
+                    cur = []
+                pieces.append(ch)
+            else:
+                cur.append(ch)
+        if cur:
+            pieces.append("".join(cur))
+        return pieces
+
+    def _wordpiece(self, word: str) -> list[str]:
+        if len(word) > 100:
+            return [self.unk]
+        pieces, start = [], 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    cur = sub
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk]
+            pieces.append(cur)
+            start = end
+        return pieces
+
+    def tokenize(self, text: str) -> list[str]:
+        import unicodedata
+
+        if self.do_lower_case:
+            text = text.lower()
+            text = unicodedata.normalize("NFD", text)
+            text = "".join(c for c in text if unicodedata.category(c) != "Mn")
+        words = []
+        for w in self._clean(text).split():
+            words.extend(self._split_punct(w))
+        out = []
+        for w in words:
+            out.extend(self._wordpiece(w))
+        return out
+
+    def encode_batch(self, texts: list[str]) -> np.ndarray:
+        """[CLS] tokens [SEP], padded — reference tokenize() output
+        (text.py:36-50)."""
+        ids = [
+            [self.cls_id]
+            + [self.vocab.get(t, self.vocab[self.unk]) for t in self.tokenize(x)]
+            + [self.sep_id]
+            for x in texts
+        ]
+        n = max(len(r) for r in ids)
+        out = np.full((len(ids), n), self.pad_id, np.int32)
+        for i, r in enumerate(ids):
+            out[i, : len(r)] = r
+        return out
 
 
 class TextEmbedder:
@@ -129,8 +259,14 @@ class TextEmbedder:
         return os.path.abspath(os.path.join(_CACHE_DIR, f"bert_{dataset}.npz"))
 
     @classmethod
-    def build(cls, dataset: str, recompute: bool = False) -> "TextEmbedder":
-        """Load the cached table for a dataset, computing it if missing."""
+    def build(
+        cls,
+        dataset: str,
+        recompute: bool = False,
+        model_name_or_path: str = "bert-base-cased",
+    ) -> "TextEmbedder":
+        """Load the cached table for a dataset, computing it if missing
+        (from the hub or a local `--bert-path` weight drop)."""
         classes = DATASET_CLASSES[dataset]
         path = cls.cache_path(dataset)
         if os.path.exists(path) and not recompute:
@@ -138,7 +274,7 @@ class TextEmbedder:
             cached = tuple(data["classes"].tolist())
             if cached == tuple(classes):
                 return cls(classes, data["table"].astype(np.float32))
-        table = bert_masked_mean_embed(list(classes))
+        table = bert_masked_mean_embed(list(classes), model_name_or_path)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         np.savez(path, classes=np.array(classes, dtype=object), table=table)
         return cls(classes, table)
@@ -166,24 +302,36 @@ class JaxBertTextEncoder:
     path is torch-free."""
 
     def __init__(self, model_name_or_path: str = "bert-base-cased"):
-        from transformers import AutoTokenizer, BertModel
+        from transformers import BertModel
 
         from cvpr23_lfdm_tpu.models.bert import convert_hf_bert
 
-        self.tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+        vocab = os.path.join(model_name_or_path, "vocab.txt")
+        if os.path.isfile(vocab):
+            # local weight drop: serve without the transformers tokenizer
+            self.tokenizer = WordPieceTokenizer(vocab)
+        else:
+            from transformers import AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
         torch_model = BertModel.from_pretrained(model_name_or_path)
         self.params = convert_hf_bert(torch_model.state_dict())
         del torch_model
+
+    def _encode(self, texts: list[str]) -> np.ndarray:
+        if isinstance(self.tokenizer, WordPieceTokenizer):
+            return self.tokenizer.encode_batch(texts)[:, :512]
+        enc = self.tokenizer(
+            texts, padding=True, truncation=True, max_length=512,
+            return_tensors="np",
+        )
+        return enc["input_ids"]
 
     def __call__(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
         from cvpr23_lfdm_tpu.models.bert import bert_embed
 
         none_mask = np.array([t == NULL_TEXT for t in texts], dtype=bool)
-        enc = self.tokenizer(
-            list(texts), padding=True, truncation=True, max_length=512,
-            return_tensors="np",
-        )
         # np.array copies (np.asarray of a jax.Array is read-only)
-        emb = np.array(bert_embed(self.params, enc["input_ids"]))
+        emb = np.array(bert_embed(self.params, self._encode(list(texts))))
         emb[none_mask] = 0.0
         return emb.astype(np.float32), none_mask

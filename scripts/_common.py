@@ -20,6 +20,17 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--log-dir", default="log")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--platform", default="", help="force jax platform (e.g. cpu)")
+    p.add_argument(
+        "--bert-path", default="bert-base-cased",
+        help="HF name or LOCAL dir with the bert-base-cased checkpoint "
+        "(config.json + weights + vocab.txt) for class-text embeddings",
+    )
+    p.add_argument(
+        "--allow-random-text", action="store_true",
+        help="permit a deterministic RANDOM class-embedding table when BERT "
+        "weights are unreachable (smoke/ablation only; conditioning values "
+        "will NOT match the reference). Implied by --synthetic.",
+    )
     return p
 
 
@@ -57,13 +68,30 @@ def resolve_data_root(args, image_size: int = 128) -> str:
     return root
 
 
-def load_text_embedder(dataset: str):
-    """Cached BERT class-text table; fall back to a deterministic random
-    table when HF weights are unavailable (no egress)."""
+def load_text_embedder(dataset_or_args):
+    """Cached BERT class-text table. When no cache exists and weights are
+    unreachable, this is a HARD error unless --allow-random-text (or
+    --synthetic smoke mode): silently training/serving on a random table
+    produces conditioning values that cannot match the reference."""
     from cvpr23_lfdm_tpu.models.text import DATASET_CLASSES, TextEmbedder
 
+    if isinstance(dataset_or_args, str):  # tests / direct calls
+        dataset, bert_path, allow_random = dataset_or_args, "bert-base-cased", True
+    else:
+        args = dataset_or_args
+        dataset = args.dataset
+        bert_path = args.bert_path
+        allow_random = args.allow_random_text or args.synthetic
     try:
-        return TextEmbedder.build(dataset)
-    except Exception as e:  # no cache and no downloadable BERT
+        return TextEmbedder.build(dataset, model_name_or_path=bert_path)
+    except Exception as e:  # no cache and no reachable BERT
+        if not allow_random:
+            raise SystemExit(
+                f"BERT class embeddings unavailable ({e}).\n"
+                f"Provide --bert-path <dir> with a local bert-base-cased "
+                f"checkpoint (config.json + pytorch_model.bin/safetensors + "
+                f"vocab.txt), or pass --allow-random-text to proceed with a "
+                f"deterministic random table (smoke/ablation only)."
+            )
         print(f"warning: BERT embeddings unavailable ({e}); using random table")
         return TextEmbedder.random_for_testing(DATASET_CLASSES[dataset])

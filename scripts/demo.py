@@ -86,7 +86,7 @@ def main() -> None:
         )
     ref_img = jnp.asarray(img)[None]
 
-    embedder = load_text_embedder(args.dataset)
+    embedder = load_text_embedder(args)
     classes = args.classes or list(embedder.classes)
 
     @jax.jit

@@ -71,7 +71,7 @@ def main() -> None:
         print("warning: no --dm-ckpt; RANDOM UNet weights (smoke mode)")
         unet_vars = model.init_unet_vars(jax.random.PRNGKey(1))
 
-    embedder = load_text_embedder(args.dataset)
+    embedder = load_text_embedder(args)
     dataset = DMVideoDataset(
         get_spec(args.dataset), root, "test", combos=True,
         num_frames=cfg.diffusion.num_frames, image_size=cfg.lfae.frame_shape,

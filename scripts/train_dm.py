@@ -42,7 +42,7 @@ def main() -> None:
     tc = cfg.dm_train
     batch_size = args.batch_size or tc.batch_size
     root = resolve_data_root(args, cfg.lfae.frame_shape)
-    embedder = load_text_embedder(args.dataset)
+    embedder = load_text_embedder(args)
 
     dataset = DMVideoDataset(
         get_spec(args.dataset), root, "train",

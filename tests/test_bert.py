@@ -72,3 +72,51 @@ def test_bert_embed_matches_reference_semantics(pair):
     expected = ((hidden[:, 1:] * mask).sum(1) / (mask.sum(1) + 1e-8)).numpy()
     ours = bert_embed(params, jnp.asarray(ids), SPEC)
     np.testing.assert_allclose(np.asarray(ours), expected, atol=2e-5)
+
+
+# -------------------------------------------------- WordPiece tokenizer
+
+
+def test_wordpiece_tokenizer_matches_transformers(tmp_path):
+    """Self-contained WordPiece (models/text.py) vs transformers.BertTokenizer
+    built from the same local vocab file — the reference tokenize() path
+    (DM/modules/text.py:36-50: special tokens + batch padding)."""
+    from transformers import BertTokenizer
+
+    from cvpr23_lfdm_tpu.models.text import WordPieceTokenizer
+
+    vocab = [
+        "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+        # class-name pieces (cased)
+        "anger", "disgust", "fear", "happiness", "neutral", "sadness",
+        "surprise", "right", "hand", "wave", "two", "front", "clap",
+        "draw", "circle", "clockwise", "counter", "forward", "lunge",
+        "left", "foot", "(", ")", "I", "Have", "Command", "Brakes",
+        "On", "Off", "Nose", "##gear", "Steering", "jog", "##ging",
+        "walk", "##ing", "s", "##quat",
+    ]
+    path = tmp_path / "vocab.txt"
+    path.write_text("\n".join(vocab) + "\n")
+
+    texts = [
+        "anger",
+        "right hand wave",
+        "two hand front clap",
+        "draw circle counter clockwise",
+        "forward lunge (left foot forward)",
+        "I Have Command",
+        "Brakes On",
+        "Nosegear Steering",   # multi-piece continuation
+        "jogging",             # continuation "##ging"
+        "squat",               # "s" + "##quat"
+        "zzz unknownword",     # -> [UNK]
+        "None",                # null token text -> [UNK] pieces, still tokenized
+    ]
+
+    hf = BertTokenizer(str(path), do_lower_case=False)
+    expected = hf.batch_encode_plus(
+        texts, add_special_tokens=True, padding=True, return_tensors="np"
+    )["input_ids"]
+
+    ours = WordPieceTokenizer(str(path)).encode_batch(texts)
+    np.testing.assert_array_equal(ours, expected)
