@@ -165,15 +165,27 @@ class DMTrainer:
         checkpoint_every: int = 2000,
         viz_fn=None,
         viz_every: int = 0,
+        gif_fn=None,
+        gif_every: int = 0,
+        sample_fn=None,
+        sample_every: int = 0,
     ) -> DMTrainState:
         """Step-count-based loop (reference DM train scripts :213-390).
-        `viz_fn(state, batch, step)` hooks the periodic image/GIF dumps."""
+        Periodic hooks, each `fn(state, batch, step)`:
+          viz_fn    -- still-image grid (reference :252-280)
+          gif_fn    -- training-batch GIF dump (reference :282-318)
+          sample_fn -- mid-training `sample_one_video` GIF (reference :320-360)
+        """
         t0 = time.perf_counter()
         for i in range(num_steps):
             rng, step_rng = jax.random.split(rng)
             batch = next(batches)
             if viz_fn and viz_every and (i + 1) % viz_every == 0:
                 viz_fn(state, batch, i + 1)
+            if gif_fn and gif_every and (i + 1) % gif_every == 0:
+                gif_fn(state, batch, i + 1)
+            if sample_fn and sample_every and (i + 1) % sample_every == 0:
+                sample_fn(state, batch, i + 1)
             log_now = bool(log_every and (i + 1) % log_every == 0)
             state, metrics = self.train_step(
                 state, step_rng, batch, with_monitoring=log_now

@@ -143,6 +143,48 @@ def save_gif(path: str, frames: np.ndarray, fps: int = 10) -> None:
     imageio.mimsave(path, list(frames), duration=1000.0 / fps, loop=0)
 
 
+def dm_training_gif(
+    src_img: np.ndarray,
+    real_vid: np.ndarray,
+    real_out: np.ndarray,
+    real_warp: np.ndarray,
+    gen_out: np.ndarray,
+    gen_warp: np.ndarray,
+    real_grid: np.ndarray,
+    gen_grid: np.ndarray,
+    real_conf: np.ndarray,
+    gen_conf: np.ndarray,
+    img_size: int = 128,
+) -> np.ndarray:
+    """Per-frame 5x2 training-dump tile animation (reference DM train
+    :282-318 save_vid / :320-360 sampling layout): columns are
+    src|real-out|gen-out|real-grid|real-conf over
+    tar|real-warp|gen-warp|gen-grid|gen-conf. Videos `[F, H, W, 3]`,
+    grids `[F, h, w, 2]`, confs `[F, h, w, 1]`. Returns `[F, 2H, 5W, 3]`
+    uint8 frames for `save_gif`."""
+    frames = []
+    src = to_uint8(src_img)
+    for nf in range(real_vid.shape[0]):
+        rows = [
+            [
+                src,
+                to_uint8(real_out[nf]),
+                to_uint8(gen_out[nf]),
+                grid2fig(real_grid[nf], img_size=img_size),
+                np.repeat(conf2fig(real_conf[nf], img_size)[..., None], 3, -1),
+            ],
+            [
+                to_uint8(real_vid[nf]),
+                to_uint8(real_warp[nf]),
+                to_uint8(gen_warp[nf]),
+                grid2fig(gen_grid[nf], img_size=img_size),
+                np.repeat(conf2fig(gen_conf[nf], img_size)[..., None], 3, -1),
+            ],
+        ]
+        frames.append(tile_grid(rows))
+    return np.stack(frames)
+
+
 def save_image(path: str, img: np.ndarray) -> None:
     import imageio.v2 as imageio
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from _common import base_parser, load_text_embedder, resolve_data_root, setup_platform
@@ -22,6 +23,9 @@ def main() -> None:
     p.add_argument("--batch-size", type=int, default=0)
     p.add_argument("--num-steps", type=int, default=0)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--save-img-freq", type=int, default=0, help="0 = preset")
+    p.add_argument("--save-vid-freq", type=int, default=0, help="0 = preset")
+    p.add_argument("--sample-vid-freq", type=int, default=0, help="0 = preset")
     p.add_argument(
         "--mean", type=float, nargs=3, default=(0.0, 0.0, 0.0),
         help="per-channel pixel mean, 0-255 scale (reference MEAN constant; "
@@ -101,7 +105,8 @@ def main() -> None:
 
     from cvpr23_lfdm_tpu.ops.grid import make_coordinate_grid
     from cvpr23_lfdm_tpu.utils.viz import (
-        conf2fig, flow2fig, save_image, tile_grid, to_uint8,
+        conf2fig, dm_training_gif, flow2fig, save_gif, save_image,
+        tile_grid, to_uint8,
     )
 
     viz_dir = os.path.join(args.log_dir, "dm_imgs")
@@ -136,10 +141,60 @@ def main() -> None:
         os.makedirs(viz_dir, exist_ok=True)
         save_image(os.path.join(viz_dir, f"step_{step:07d}.png"), tile_grid(rows))
 
+    vid_dir = os.path.join(args.log_dir, "dm_vidshots")
+    sample_dir = os.path.join(args.log_dir, "dm_samples")
+
+    def gif_fn(cur_state, batch, step):
+        """Training-batch GIF (reference :282-318): per-frame 5x2 tiles of
+        src/tar, real-out/real-warp, fake(pred_x0)-out/-warp, grids, confs."""
+        small = {k: v[:1] for k, v in batch.items() if hasattr(v, "ndim")}
+        aux = jax.device_get(
+            trainer.monitor(cur_state, jax.random.PRNGKey(step), small)
+        )
+        frames = dm_training_gif(
+            small["ref_img"][0], small["real_vid"][0],
+            aux["out_vid"][0], aux["warped_vid"][0],
+            aux["fake_out_vid"][0], aux["fake_warped_vid"][0],
+            aux["vid_grid"][0], aux["fake_vid_grid"][0],
+            aux["vid_conf"][0], aux["fake_vid_conf"][0],
+            img_size=size,
+        )
+        os.makedirs(vid_dir, exist_ok=True)
+        name = f"B{batch_size:04d}_S{step:06d}.gif"
+        save_gif(os.path.join(vid_dir, name), frames)
+
+    def sample_fn(cur_state, batch, step):
+        """Mid-training sample_one_video GIF (reference :320-360)."""
+        small = {k: v[:1] for k, v in batch.items() if hasattr(v, "ndim")}
+        aux = jax.device_get(
+            trainer.monitor(cur_state, jax.random.PRNGKey(step), small)
+        )
+        out = jax.device_get(
+            trainer.sample_video(
+                cur_state, jax.random.PRNGKey(step + 1),
+                jnp.asarray(small["ref_img"]), jnp.asarray(small["cond"]),
+                cond_scale=1.0,
+            )
+        )
+        frames = dm_training_gif(
+            small["ref_img"][0], small["real_vid"][0],
+            aux["out_vid"][0], aux["warped_vid"][0],
+            out["out_vid"][0], out["warped_vid"][0],
+            aux["vid_grid"][0], out["vid_grid"][0],
+            aux["vid_conf"][0], out["vid_conf"][0],
+            img_size=size,
+        )
+        os.makedirs(sample_dir, exist_ok=True)
+        name = f"B{batch_size:04d}_S{step:06d}.gif"
+        save_gif(os.path.join(sample_dir, name), frames)
+
     state = trainer.fit(
         state, batches(), num_steps, rng,
         checkpoint_fn=checkpoint_fn, checkpoint_every=tc.update_ckpt_freq,
-        viz_fn=viz_fn, viz_every=tc.save_img_freq,
+        viz_fn=viz_fn, viz_every=args.save_img_freq or tc.save_img_freq,
+        gif_fn=gif_fn, gif_every=args.save_vid_freq or tc.save_vid_freq,
+        sample_fn=sample_fn,
+        sample_every=args.sample_vid_freq or tc.sample_vid_freq,
     )
     ckpt.save(state, step=int(jax.device_get(state.step)))
     print("done")

@@ -113,3 +113,20 @@ def test_natops_segmentation_parser(tmp_path):
     seg = natops_parse_segmentation(str(path))
     assert len(seg) == 20 and len(seg[1]) == 24
     assert seg[3][5] == [(50, 55), (56, 59)]
+
+
+def test_dm_training_gif_tiles():
+    """5x2 per-frame tile layout (reference DM train :282-318)."""
+    from cvpr23_lfdm_tpu.utils.viz import dm_training_gif
+
+    rng = np.random.default_rng(0)
+    F, H, h = 3, 32, 8
+    vid = lambda: rng.random((F, H, H, 3), np.float32)
+    grid = lambda: rng.uniform(-1, 1, (F, h, h, 2)).astype(np.float32)
+    conf = lambda: rng.random((F, h, h, 1), np.float32)
+    frames = dm_training_gif(
+        rng.random((H, H, 3), np.float32), vid(), vid(), vid(), vid(), vid(),
+        grid(), grid(), conf(), conf(), img_size=H,
+    )
+    assert frames.shape == (F, 2 * H, 5 * H, 3)
+    assert frames.dtype == np.uint8
