@@ -239,9 +239,12 @@ class FlowDiffusion:
         sample_img: jnp.ndarray,
         cond: jnp.ndarray,
         cond_scale: float = 1.0,
+        init_img: jnp.ndarray | None = None,
+        noise_seq: jnp.ndarray | None = None,
     ) -> dict:
         """`sample_one_video` (video_flow_diffusion_model.py:190-216):
-        encoder feature -> DDPM/DDIM scan -> frame-batched decode."""
+        encoder feature -> DDPM/DDIM scan -> frame-batched decode.
+        `init_img`/`noise_seq` inject the gaussians (parity tests)."""
         gen_vars = self._lfae_sub(lfae_vars, "generator")
         fea = self.generator.apply(
             gen_vars, sample_img, method=Generator.compute_fea
@@ -254,6 +257,8 @@ class FlowDiffusion:
             cond_scale=cond_scale,
             num_frames=self.cfg.num_frames,
             image_size=self.cfg.img_size,
+            init_img=init_img,
+            noise_seq=noise_seq,
         )
         vid_grid, vid_conf = self.decode_latent(pred)
         out_vid, warped_vid = self.decode_flow_video(
