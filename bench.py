@@ -3,17 +3,20 @@
 Measures end-to-end serving latency of the flagship pipeline on one chip:
 ref-image encoder feature -> scan-compiled DDIM sampler (10 steps, the
 reference's "ddim" test config, DM/test_video_flow_diffusion_mug.py:28-33)
--> frame-batched LFAE flow decode of all 40 frames. Prints ONE JSON line:
+-> frame-batched LFAE flow decode of all 40 frames. Prints ONE JSON line;
+`value` is B=1 serving latency expressed as frames/s, plus:
 
-  {"metric": "sampling_frames_per_sec_per_chip", "value": N,
-   "unit": "frames/s", "vs_baseline": R}
-
-`vs_baseline` is measured fps divided by BASELINE_FPS, a documented
-estimate of the PyTorch reference on its own V100-class hardware (the
-reference publishes no numbers — BASELINE.md; the paper's repo prints
-wall-clock only at run time). Estimate: 10 DDIM UNet3D evals at
-[1,259,40,32,32] plus 40 sequential LFAE generator decodes ~= 1.6 s
--> ~25 frames/s. The driver-recorded target is >=5x an H100 per chip.
+  * `vs_baseline` — measured fps / BASELINE_FPS. BASELINE_FPS is the
+    ANALYTIC H100 estimate of the torch reference derived in BASELINE.md
+    ("H100 baseline derivation"): measured kernel-launch count x
+    documented eager per-op overhead, cross-checked against the measured
+    eager-HBM-traffic floor. `vs_h100_ceiling` divides by the
+    most-generous bound no eager implementation can beat.
+  * `achieved_tflops` / `mfu` — XLA cost-analysis FLOPs of the compiled
+    graph over measured wall-clock, vs the v5e bf16 peak (197 TFLOP/s).
+  * `hbm_gb_per_video` / `hbm_util` — cost-analysis bytes vs 819 GB/s.
+  * `batch8_frames_per_sec` — production-serving throughput at B=8,
+    where per-dispatch and tunnel-RTT overheads amortize.
 """
 
 from __future__ import annotations
@@ -24,12 +27,18 @@ import time
 import jax
 import jax.numpy as jnp
 
-BASELINE_FPS = 25.0  # estimated reference (torch, V100-class); see docstring
+# Analytic H100 estimate of the torch reference (BASELINE.md derivation);
+# CEILING is the generous no-implementation-can-beat bound.
+BASELINE_FPS = 299.0
+BASELINE_FPS_CEILING = 599.0
+V5E_PEAK_TFLOPS = 197.0  # bf16 dense
+V5E_HBM_GBPS = 819.0
 NUM_FRAMES = 40
 IMG_SIZE = 128
 DDIM_STEPS = 10
 WARMUP = 2
 ITERS = 10
+BATCH_THROUGHPUT = 8
 
 
 def main() -> None:
@@ -66,7 +75,6 @@ def main() -> None:
     ref_img = jax.random.uniform(k_img, (1, IMG_SIZE, IMG_SIZE, 3), jnp.float32)
     cond = jax.random.normal(k_cond, (1, cfg.diffusion.cond_dim), jnp.float32)
 
-    @jax.jit
     def sample(unet_vars, lfae_vars, rng, ref_img, cond):
         out = model.sample_video(
             unet_vars, lfae_vars, rng, ref_img, cond, cond_scale=1.0
@@ -74,11 +82,20 @@ def main() -> None:
         # reduce to a scalar so the host sync below transfers 4 bytes
         return out["out_vid"].mean()
 
+    compiled = jax.jit(sample).lower(
+        unet_vars, lfae_vars, k_s, ref_img, cond
+    ).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):  # older jax returns a per-device list
+        ca = ca[0]
+    graph_flops = float(ca.get("flops", 0.0))
+    graph_bytes = float(ca.get("bytes accessed", 0.0))
+
     def run_once():
         # device_get forces a REAL completion sync; on this image's tunneled
         # backend block_until_ready returns at dispatch-ack, not completion
         return float(
-            jax.device_get(sample(unet_vars, lfae_vars, k_s, ref_img, cond))
+            jax.device_get(compiled(unet_vars, lfae_vars, k_s, ref_img, cond))
         )
 
     for _ in range(WARMUP):
@@ -93,6 +110,30 @@ def main() -> None:
     times.sort()
     median = times[len(times) // 2]
     fps = NUM_FRAMES / median
+
+    # production-serving throughput: B videos per dispatch
+    bb = BATCH_THROUGHPUT
+    ref_b = jnp.broadcast_to(ref_img, (bb,) + ref_img.shape[1:])
+    cond_b = jnp.broadcast_to(cond, (bb,) + cond.shape[1:])
+    compiled_b = jax.jit(sample).lower(
+        unet_vars, lfae_vars, k_s, ref_b, cond_b
+    ).compile()
+
+    def run_batch():
+        return float(
+            jax.device_get(compiled_b(unet_vars, lfae_vars, k_s, ref_b, cond_b))
+        )
+
+    run_batch()
+    bt = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run_batch()
+        bt.append(time.perf_counter() - t0)
+    bt.sort()
+    batch_fps = bb * NUM_FRAMES / bt[len(bt) // 2]
+
+    achieved_tflops = graph_flops / median / 1e12
     print(
         json.dumps(
             {
@@ -100,6 +141,14 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "vs_h100_ceiling": round(fps / BASELINE_FPS_CEILING, 3),
+                "baseline": "h100-analytic, BASELINE.md derivation",
+                "batch8_frames_per_sec": round(batch_fps, 2),
+                "model_tflop_per_video": round(graph_flops / 1e12, 4),
+                "achieved_tflops": round(achieved_tflops, 2),
+                "mfu": round(achieved_tflops / V5E_PEAK_TFLOPS, 4),
+                "hbm_gb_per_video": round(graph_bytes / 1e9, 2),
+                "hbm_util": round(graph_bytes / median / 1e9 / V5E_HBM_GBPS, 3),
             }
         )
     )
