@@ -59,9 +59,10 @@ def main() -> None:
     cfg = cfg.replace(
         diffusion=dataclasses.replace(
             cfg.diffusion, sampling_timesteps=DDIM_STEPS,
-            # measured on this chip the XLA temporal attention beats the
-            # packed pallas kernel (2.2 vs 3.3 ms/layer) — keep "xla"
-            temporal_attn_impl="xla",
+            # head-packed Pallas kernel with matmul-segmented softmax:
+            # 3.7 vs 5.4 ms/layer (B=1) and 7.9 vs 37.5 (B=8) against the
+            # XLA einsum form (scripts/bench_attention.py)
+            temporal_attn_impl="pallas2",
         ),
         # serving precision: bf16 conv/matmul compute, fp32 params+norms
         lfae=dataclasses.replace(cfg.lfae, compute_dtype="bfloat16"),

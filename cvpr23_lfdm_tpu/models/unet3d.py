@@ -135,6 +135,17 @@ class TemporalAttention(nn.Module):
         hidden = self.heads * self.dim_head
         qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
 
+        if self.impl.startswith("pallas2"):
+            out = self._headpacked_attention(
+                qkv.reshape(b, f, h * w, 3 * hidden),
+                pos_bias, focus_present_mask,
+                interpret=self.impl == "pallas2_interpret",
+            )
+            out = out.reshape(b, f, h, w, hidden)
+            return nn.Dense(
+                self.dim, use_bias=False, dtype=self.dtype, name="to_out"
+            )(out)
+
         if self.impl.startswith("pallas"):
             out = self._packed_attention(
                 qkv.reshape(b, f, h * w, 3 * hidden),
@@ -184,6 +195,37 @@ class TemporalAttention(nn.Module):
         out = jnp.einsum("bxhij,bjxhd->bixhd", attn, v)
         out = out.reshape(b, f, h, w, hidden)
         return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)
+
+    def _headpacked_attention(self, qkv, pos_bias, focus_present_mask, interpret):
+        """Head-packed kernel path: qkv [B,F,HW,3hd] natural layout ->
+        [B,F,HW,hd]. Rotary + q-scale fold INSIDE the kernel; no XLA-side
+        transposes or padded intermediates (attention_pallas.py)."""
+        from cvpr23_lfdm_tpu.ops.attention_pallas import (
+            build_bias_flat, headpacked_temporal_attention, rotary_tables,
+        )
+
+        b, f = qkv.shape[0], qkv.shape[1]
+        if pos_bias is None:
+            pos_bias = jnp.zeros((self.heads, f, f), jnp.float32)
+        bias_flat = build_bias_flat(pos_bias, b, f, focus_present_mask)
+        scale = self.dim_head**-0.5
+        if self.use_rotary:
+            cos_t, sin_t = rotary_tables(
+                f, self.heads, self.dim_head, scale, qkv.dtype
+            )
+        else:
+            hd = self.heads * self.dim_head
+            cos_t = jnp.broadcast_to(
+                jnp.concatenate(
+                    [jnp.full((hd,), scale), jnp.ones((2 * hd,))]
+                ).astype(qkv.dtype)[None],
+                (f, 3 * hd),
+            )
+            sin_t = jnp.zeros((f, 3 * hd), qkv.dtype)
+        return headpacked_temporal_attention(
+            qkv, bias_flat, cos_t, sin_t, self.heads, self.dim_head,
+            interpret=interpret,
+        )
 
     def _packed_attention(self, qkv, pos_bias, focus_present_mask, interpret):
         """Packed-tile kernel path: qkv [B,F,HW,3*h*d] -> [B,F,HW,h*d].

@@ -130,6 +130,158 @@ def packed_temporal_attention(
     return out
 
 
+def _headpacked_kernel(
+    qkv_ref, bias_ref, cos_ref, sin_ref, o_ref, *, heads, dim_head, p, f
+):
+    """qkv block [1, F, P, 3hd]; bias [1, F, heads*F]; cos/sin [F, 3hd];
+    out [1, F, P, hd].
+
+    Per pixel: all `heads` attentions in ONE matmul pair. K and V are
+    tiled `heads`x along rows and masked so row (g, j) carries only head
+    g's d-columns — `S[i, g*F+j] = q_g[i] . k_g[j]` lands heads side by
+    side on the lane axis (heads*F lanes, dense), and the same masked
+    tiling makes `A @ V_exp` scatter each head's output back to its own
+    d-columns. No [.., d=32]- or [.., F=40]-minor tensor ever reaches
+    HBM, which is where the XLA form loses (~2.3 GB/layer lane-padding
+    at HW=1024)."""
+    hd = heads * dim_head
+    hf = heads * f
+    dtype = qkv_ref.dtype
+    # rotary in fp32 (Mosaic's lane-rotate needs 32-bit data); interleaved
+    # rotate via rolls: rot[2k] = -x[2k+1], rot[2k+1] = x[2k]
+    blk = qkv_ref[0].astype(jnp.float32)  # [F, P, 3hd]
+    cos = cos_ref[:].astype(jnp.float32)  # [F, 3hd]
+    sin = sin_ref[:].astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 3 * hd), 2)
+    even = (lane % 2) == 0
+    rot = jnp.where(
+        even, -pltpu.roll(blk, 3 * hd - 1, axis=2), pltpu.roll(blk, 1, axis=2)
+    )
+    blk = (blk * cos[:, None, :] + rot * sin[:, None, :]).astype(dtype)
+
+    bias = bias_ref[0]  # [F, heads*F] fp32
+    # row (g, j) of the tiled K/V keeps only head g's d-columns
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hf, hd), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (hf, hd), 1)
+    mask = (rows // f) == (cols // dim_head)
+    maskf = mask.astype(dtype)
+
+    for pp in range(p):
+        x = blk[:, pp, :]  # [F, 3hd]
+        q = x[:, :hd]
+        kv = jnp.concatenate([x[:, hd:]] * heads, axis=0)  # [heads*F, 2hd]
+        k8 = jnp.where(mask, kv[:, :hd], 0)
+        v8 = jnp.where(mask, kv[:, hd:], 0)
+        s = jax.lax.dot_general(
+            q, k8, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [F, heads*F]
+        s = s + bias
+        # Segmented softmax WITHOUT per-head lane slicing (measured 3x the
+        # whole kernel's cost as 8 sliced [F, F] softmaxes): subtracting the
+        # GLOBAL row max is a uniform shift, so per-segment softmax is
+        # unchanged; each head's denominator then lands on its own
+        # d-columns by multiplying exp(s) with the SAME block mask the
+        # values use — the softmax normalization becomes MXU work.
+        m = jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+        e = jnp.exp(s - m).astype(dtype)  # [F, heads*F]
+        num = jnp.dot(e, v8, preferred_element_type=jnp.float32)  # [F, hd]
+        den = jnp.dot(e, maskf, preferred_element_type=jnp.float32)
+        o_ref[0, :, pp, :] = (num / den).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "dim_head", "pack", "interpret")
+)
+def headpacked_temporal_attention(
+    qkv: jnp.ndarray,
+    bias_flat: jnp.ndarray,
+    cos_t: jnp.ndarray,
+    sin_t: jnp.ndarray,
+    heads: int,
+    dim_head: int,
+    pack: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Head-packed temporal attention, natural `[B, F, HW, 3*h*d]` layout.
+
+    Args:
+      qkv: `[B, F, HW, 3*heads*d]` raw to_qkv output (rotary NOT applied —
+        it is folded inside the kernel via cos_t/sin_t).
+      bias_flat: `[B, F, heads*F]` fp32 additive bias,
+        `bias_flat[b, i, g*F + j] = pos_bias[g, i, j]` (+ focus-present
+        handling), see :func:`build_bias_flat`.
+      cos_t/sin_t: `[F, 3*heads*d]` rotary tables with the q-scale folded
+        (:func:`rotary_tables`).
+
+    Returns `[B, F, HW, heads*d]`.
+    """
+    b, f, hw, thd = qkv.shape
+    hd = heads * dim_head
+    assert thd == 3 * hd, (thd, heads, dim_head)
+    p = min(pack, hw)
+    assert hw % p == 0, (hw, p)
+
+    kernel = functools.partial(
+        _headpacked_kernel, heads=heads, dim_head=dim_head, p=p, f=f
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, hw // p),
+        in_specs=[
+            pl.BlockSpec(
+                (1, f, p, thd), lambda i, j: (i, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, f, heads * f), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (f, thd), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (f, thd), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, f, p, hd), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, f, hw, hd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=b * hw * heads * (2 * f * f * dim_head * 2),
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 4 // 3,
+            transcendentals=b * hw * heads * f * f,
+        ),
+        interpret=interpret,
+    )(qkv, bias_flat, cos_t, sin_t)
+
+
+def build_bias_flat(
+    pos_bias: jnp.ndarray,
+    batch: int,
+    f: int,
+    focus_present_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Rel-pos bias (+ focus self-only rows) as `[B, F, heads*F]` fp32:
+    `out[b, i, g*F + j] = pos_bias[g, i, j]`, or -inf off the frame
+    diagonal for focused batch entries."""
+    heads = pos_bias.shape[0]
+    flat = pos_bias.transpose(1, 0, 2).reshape(f, heads * f)  # [i, g*F+j]
+    out = jnp.broadcast_to(flat[None].astype(jnp.float32), (batch, f, heads * f))
+    if focus_present_mask is not None:
+        self_only = jnp.where(
+            jnp.tile(jnp.eye(f, dtype=bool), (1, heads)).reshape(f, heads * f)[
+                None
+            ],
+            flat[None].astype(jnp.float32),
+            NEG_INF,
+        )
+        out = jnp.where(focus_present_mask[:, None, None], self_only, out)
+    return out
+
+
 def rotary_tables(
     f: int, heads: int, dim_head: int, scale: float, dtype
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -44,6 +44,45 @@ def test_packed_attention_focus_mask():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("hw,f", [(16, 5), (64, 7)])
+@pytest.mark.parametrize("rotary", [True, False])
+def test_headpacked_attention_matches_xla(hw, f, rotary):
+    heads, dh, dim = 2, 8, 16
+    h = w = int(np.sqrt(hw))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, f, h, w, dim)), jnp.float32)
+    pos_bias = jnp.asarray(rng.standard_normal((heads, f, f)), jnp.float32)
+
+    ref_attn = TemporalAttention(dim, heads, dh, impl="xla", use_rotary=rotary)
+    variables = jax.jit(lambda r: ref_attn.init(r, x, pos_bias))(
+        jax.random.PRNGKey(0)
+    )
+    ref = ref_attn.apply(variables, x, pos_bias)
+
+    hp_attn = TemporalAttention(
+        dim, heads, dh, impl="pallas2_interpret", use_rotary=rotary
+    )
+    out = hp_attn.apply(variables, x, pos_bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_headpacked_attention_focus_mask():
+    heads, dh, dim, f = 2, 8, 16, 5
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, f, 4, 4, dim)), jnp.float32)
+    pos_bias = jnp.asarray(rng.standard_normal((heads, f, f)), jnp.float32)
+    mask = jnp.asarray([True, False])
+
+    attn_x = TemporalAttention(dim, heads, dh, impl="xla")
+    variables = jax.jit(lambda r: attn_x.init(r, x, pos_bias))(
+        jax.random.PRNGKey(0)
+    )
+    ref = attn_x.apply(variables, x, pos_bias, mask)
+    attn_p = TemporalAttention(dim, heads, dh, impl="pallas2_interpret")
+    out = attn_p.apply(variables, x, pos_bias, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_pick_pack():
     from cvpr23_lfdm_tpu.ops.attention_pallas import pick_pack
 
