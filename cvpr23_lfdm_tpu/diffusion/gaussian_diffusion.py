@@ -38,9 +38,15 @@ def _extract(a: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
 
 def dynamic_threshold(x0: jnp.ndarray, percentile: float = 0.9) -> jnp.ndarray:
     """Imagen dynamic thresholding (video_flow_diffusion.py:719-732):
-    clip to the per-sample |.| quantile (min 1) and normalize into [-1, 1]."""
+    clip to the per-sample |.| quantile (min 1) and normalize into [-1, 1].
+
+    Uses the sort-free exact order statistic (ops/quantile.py):
+    `jnp.quantile`'s full sort was ~1.1 ms of every DDIM step at MUG
+    scale."""
+    from cvpr23_lfdm_tpu.ops.quantile import quantile_nonneg
+
     b = x0.shape[0]
-    s = jnp.quantile(jnp.abs(x0.reshape(b, -1)), percentile, axis=-1)
+    s = quantile_nonneg(jnp.abs(x0.reshape(b, -1)), percentile)
     s = jnp.maximum(s, 1.0).reshape(b, *((1,) * (x0.ndim - 1)))
     return jnp.clip(x0, -s, s) / s
 

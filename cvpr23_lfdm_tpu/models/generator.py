@@ -85,8 +85,11 @@ class Generator(nn.Module):
             ResBlock2d(bottleneck_ch, 3, axis_name=self.axis_name, dtype=self.dtype, name=f"bottleneck_r{i}")
             for i in range(self.num_bottleneck_blocks)
         ]
+        # compute-dtype conv, fp32 sigmoid: at 128x128x40f the fp32 final
+        # conv was ~3.7 ms/video of the serving decode (params stay fp32)
         self.final = nn.Conv(
-            self.num_channels, (7, 7), padding=[(3, 3), (3, 3)], name="final"
+            self.num_channels, (7, 7), padding=[(3, 3), (3, 3)],
+            dtype=self.dtype, name="final"
         )
 
     def _encode(self, source_image, train):
@@ -135,7 +138,7 @@ class Generator(nn.Module):
                 out = blk(out, train)
             for blk in self.up_blocks:
                 out = blk(out, train)
-            return nn.sigmoid(self.final(out.astype(jnp.float32))), None
+            return nn.sigmoid(self.final(out).astype(jnp.float32)), None
 
         b = source_image.shape[0]
 
@@ -194,11 +197,11 @@ class Generator(nn.Module):
             wskip0 = wpack[..., : skip0.shape[-1]]
             deformed = wpack[..., skip0.shape[-1] :].astype(jnp.float32)
             out = blend(wskip0, occ0, out)
-            out = nn.sigmoid(self.final(out.astype(jnp.float32)))
+            out = nn.sigmoid(self.final(out).astype(jnp.float32))
             occ0_f = None if occ0 is None else occ0.astype(jnp.float32)
             out = blend(deformed, occ0_f, out)
         else:
-            out = nn.sigmoid(self.final(out.astype(jnp.float32)))
+            out = nn.sigmoid(self.final(out).astype(jnp.float32))
         return out, deformed
 
     def __call__(self, source_image, driving_params, source_params,

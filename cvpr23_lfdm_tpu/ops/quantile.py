@@ -1,0 +1,66 @@
+"""Exact quantile of non-negative floats without sorting.
+
+`jnp.quantile` lowers to a full sort — ~1.1 ms per DDIM step at MUG scale
+([1, 122880] f32), the single most expensive op of the sampling loop
+after attention. Dynamic thresholding (reference
+DM/modules/video_flow_diffusion.py:719-732) only needs one order
+statistic of |x0|, so this module computes the exact k-th smallest via a
+31-step binary search on the float bit pattern (non-negative IEEE-754
+floats compare like their int32 bits): each step is one masked count —
+pure VPU reductions, no sort, ~5x faster and batch-friendly.
+
+Matches `jnp.quantile`'s default linear interpolation exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _kth_smallest_bits(bits: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Exact k-th smallest (0-indexed) of int32-comparable bit patterns.
+
+    bits: `[B, N]` int32, all >= 0 (bitcast of non-negative floats).
+    k: `[B]` int32. Returns `[B]` int32 bit patterns.
+
+    Greedy MSB->LSB prefix build: keep bit b iff at most k elements are
+    strictly below the candidate prefix (answer >= candidate).
+    """
+
+    def body(i, p):
+        b = 30 - i
+        cand = p + (1 << b).astype(jnp.int32)
+        cnt_less = jnp.sum(bits < cand[:, None], axis=-1)
+        return jnp.where(cnt_less <= k, cand, p)
+
+    return jax.lax.fori_loop(
+        0, 31, body, jnp.zeros(bits.shape[0], jnp.int32)
+    )
+
+
+def quantile_nonneg(x: jnp.ndarray, q: float) -> jnp.ndarray:
+    """Per-row exact linear-interpolated quantile of non-negative `x`.
+
+    x: `[B, N]` float32, all values >= 0 (use `jnp.abs` first).
+    Returns `[B]`, equal to `jnp.quantile(x, q, axis=-1)`.
+    """
+    b, n = x.shape
+    x = x.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    pos = q * (n - 1)
+    k_lo = int(pos)
+    frac = pos - k_lo
+    k = jnp.full((b,), k_lo, jnp.int32)
+    lo_bits = _kth_smallest_bits(bits, k)
+    lo = jax.lax.bitcast_convert_type(lo_bits, jnp.float32)
+    if frac == 0.0 or k_lo == n - 1:
+        return lo
+    # (k+1)-th smallest: the lo value again if it has further duplicates,
+    # else the smallest value strictly above it
+    cnt_le = jnp.sum(bits <= lo_bits[:, None], axis=-1)
+    above = jnp.min(
+        jnp.where(bits > lo_bits[:, None], x, jnp.inf), axis=-1
+    )
+    hi = jnp.where(cnt_le >= k + 2, lo, above)
+    return lo + (hi - lo) * jnp.float32(frac)

@@ -1,6 +1,7 @@
 """Golden tests: eig2x2, antialias downsample, nearest upsample, avg pool."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 import torch
@@ -104,3 +105,20 @@ def test_avg_pool_matches_torch():
     t = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
     theirs = np.transpose(F.avg_pool2d(t, 2).numpy(), (0, 2, 3, 1))
     np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_quantile_nonneg_matches_jnp_and_torch():
+    """Sort-free order statistic == jnp.quantile == torch.quantile (the
+    reference's dynamic-threshold op, video_flow_diffusion.py:722-726)."""
+    from cvpr23_lfdm_tpu.ops.quantile import quantile_nonneg
+
+    rng = np.random.RandomState(8)
+    for n, q in [(7, 0.9), (100, 0.9), (1001, 0.995), (4096, 0.5), (33, 0.0)]:
+        x = np.abs(rng.randn(3, n)).astype(np.float32)
+        if n == 100:
+            x = np.round(x, 1)  # duplicates
+        ours = np.asarray(jax.jit(lambda a, qq=q: quantile_nonneg(a, qq))(jnp.asarray(x)))
+        ref = np.asarray(jnp.quantile(jnp.asarray(x), q, axis=-1))
+        np.testing.assert_allclose(ours, ref, atol=2e-6)
+        theirs = torch.quantile(torch.from_numpy(x), q, dim=-1).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=2e-6)
