@@ -190,32 +190,118 @@ def _headpacked_kernel(
         o_ref[0, :, pp, :] = (num / den).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("heads", "dim_head", "pack", "interpret")
-)
-def headpacked_temporal_attention(
-    qkv: jnp.ndarray,
-    bias_flat: jnp.ndarray,
-    cos_t: jnp.ndarray,
-    sin_t: jnp.ndarray,
-    heads: int,
-    dim_head: int,
-    pack: int = 32,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Head-packed temporal attention, natural `[B, F, HW, 3*h*d]` layout.
+def _apply_rotary_fp32(x, cos, sin, hd):
+    """Forward rotary fold on `[F, P, 3hd]` (fp32 rolls; see kernel)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 3 * hd), 2)
+    even = (lane % 2) == 0
+    rot = jnp.where(
+        even, -pltpu.roll(x, 3 * hd - 1, axis=2), pltpu.roll(x, 1, axis=2)
+    )
+    return x * cos[:, None, :] + rot * sin[:, None, :]
 
-    Args:
-      qkv: `[B, F, HW, 3*heads*d]` raw to_qkv output (rotary NOT applied —
-        it is folded inside the kernel via cos_t/sin_t).
-      bias_flat: `[B, F, heads*F]` fp32 additive bias,
-        `bias_flat[b, i, g*F + j] = pos_bias[g, i, j]` (+ focus-present
-        handling), see :func:`build_bias_flat`.
-      cos_t/sin_t: `[F, 3*heads*d]` rotary tables with the q-scale folded
-        (:func:`rotary_tables`).
 
-    Returns `[B, F, HW, heads*d]`.
-    """
+def _headpacked_bwd_kernel(
+    qkv_ref, bias_ref, cos_ref, sin_ref, do_ref, dqkv_ref, dbias_ref,
+    *, heads, dim_head, p, f,
+):
+    """Recompute-based backward of `_headpacked_kernel`.
+
+    Same head-packed structure: softmax backward's per-segment row sums
+    come from matmuls against `kron(I_h, ones(F,F))`, and the tiled
+    dk8/dv8 collapse back to per-frame dk/dv through a tile-of-identity
+    matmul. dbias accumulates across pixels and grid columns (the bias
+    block revisits (i, 0, 0); TPU grids run sequentially)."""
+    hd = heads * dim_head
+    hf = heads * f
+    dtype = qkv_ref.dtype
+    cos = cos_ref[:].astype(jnp.float32)
+    sin = sin_ref[:].astype(jnp.float32)
+    blk = _apply_rotary_fp32(qkv_ref[0].astype(jnp.float32), cos, sin, hd)
+    blk = blk.astype(dtype)
+    bias = bias_ref[0]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hf, hd), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (hf, hd), 1)
+    mask = (rows // f) == (cols // dim_head)
+    maskf = mask.astype(dtype)
+    # same-segment lane matrix [hf, hf] and the untile matrix [f, hf]
+    r1 = jax.lax.broadcasted_iota(jnp.int32, (hf, hf), 0)
+    c1 = jax.lax.broadcasted_iota(jnp.int32, (hf, hf), 1)
+    blockff = ((r1 // f) == (c1 // f)).astype(jnp.float32)
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (f, hf), 0)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (f, hf), 1)
+    untile = (jax.lax.rem(c2, f) == r2).astype(dtype)
+
+    dbias_acc = jnp.zeros((f, hf), jnp.float32)
+    for pp in range(p):
+        x = blk[:, pp, :]
+        q = x[:, :hd]
+        kv = jnp.concatenate([x[:, hd:]] * heads, axis=0)
+        k8 = jnp.where(mask, kv[:, :hd], 0)
+        v8 = jnp.where(mask, kv[:, hd:], 0)
+        s = jax.lax.dot_general(
+            q, k8, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)  # [F, hf] fp32
+        dl = jnp.dot(
+            e.astype(dtype), blockff.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        prob = e / dl
+        probt = prob.astype(dtype)
+        do = do_ref[0, :, pp, :]  # [F, hd]
+        dp = jax.lax.dot_general(
+            do, v8, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [F, hf]
+        c = jnp.dot(
+            (prob * dp).astype(dtype), blockff.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        ds = prob * (dp - c)  # [F, hf] fp32
+        dbias_acc = dbias_acc + ds
+        dst = ds.astype(dtype)
+        dq = jnp.dot(dst, k8, preferred_element_type=jnp.float32)
+        dk8 = jax.lax.dot_general(
+            dst, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [hf, hd]
+        dk = jnp.dot(
+            untile, (dk8.astype(dtype) * maskf),
+            preferred_element_type=jnp.float32,
+        )
+        dv8 = jax.lax.dot_general(
+            probt, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dv = jnp.dot(
+            untile, (dv8.astype(dtype) * maskf),
+            preferred_element_type=jnp.float32,
+        )
+        dx = jnp.concatenate([dq, dk, dv], axis=1)  # [F, 3hd] fp32
+        # rotary adjoint: <rot(x), y> = <x, -rot(y)>
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * hd), 1)
+        even = (lane % 2) == 0
+        rot = jnp.where(
+            even, -pltpu.roll(dx, 3 * hd - 1, axis=1),
+            pltpu.roll(dx, 1, axis=1),
+        )
+        dqkv_ref[0, :, pp, :] = (dx * cos - rot * sin).astype(dqkv_ref.dtype)
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dbias_ref[0] = dbias_acc.astype(dbias_ref.dtype)
+
+    @pl.when(j != 0)
+    def _acc():
+        dbias_ref[0] = dbias_ref[0] + dbias_acc.astype(dbias_ref.dtype)
+
+
+def _headpacked_call(qkv, bias_flat, cos_t, sin_t, heads, dim_head, pack, interpret):
     b, f, hw, thd = qkv.shape
     hd = heads * dim_head
     assert thd == 3 * hd, (thd, heads, dim_head)
@@ -256,6 +342,108 @@ def headpacked_temporal_attention(
         ),
         interpret=interpret,
     )(qkv, bias_flat, cos_t, sin_t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _headpacked_diff(qkv, bias_flat, cos_t, sin_t, heads, dim_head, pack, interpret):
+    return _headpacked_call(
+        qkv, bias_flat, cos_t, sin_t, heads, dim_head, pack, interpret
+    )
+
+
+def _headpacked_diff_fwd(qkv, bias_flat, cos_t, sin_t, heads, dim_head, pack, interpret):
+    out = _headpacked_call(
+        qkv, bias_flat, cos_t, sin_t, heads, dim_head, pack, interpret
+    )
+    return out, (qkv, bias_flat, cos_t, sin_t)
+
+
+def _headpacked_diff_bwd(heads, dim_head, pack, interpret, res, do):
+    qkv, bias_flat, cos_t, sin_t = res
+    b, f, hw, thd = qkv.shape
+    hd = heads * dim_head
+    p = min(pack, hw)
+    kernel = functools.partial(
+        _headpacked_bwd_kernel, heads=heads, dim_head=dim_head, p=p, f=f
+    )
+    dqkv, dbias = pl.pallas_call(
+        kernel,
+        grid=(b, hw // p),
+        in_specs=[
+            pl.BlockSpec(
+                (1, f, p, thd), lambda i, j: (i, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, f, heads * f), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (f, thd), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (f, thd), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, f, p, hd), lambda i, j: (i, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, f, p, thd), lambda i, j: (i, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, f, heads * f), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, f, hw, thd), qkv.dtype),
+            jax.ShapeDtypeStruct((b, f, heads * f), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(qkv, bias_flat, cos_t, sin_t, do)
+    return dqkv, dbias, jnp.zeros_like(cos_t), jnp.zeros_like(sin_t)
+
+
+_headpacked_diff.defvjp(_headpacked_diff_fwd, _headpacked_diff_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "dim_head", "pack", "interpret")
+)
+def headpacked_temporal_attention(
+    qkv: jnp.ndarray,
+    bias_flat: jnp.ndarray,
+    cos_t: jnp.ndarray,
+    sin_t: jnp.ndarray,
+    heads: int,
+    dim_head: int,
+    pack: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Head-packed temporal attention, natural `[B, F, HW, 3*h*d]` layout.
+
+    Differentiable (custom VJP with a recompute-based backward kernel),
+    so it serves BOTH sampling and the DM training step.
+
+    Args:
+      qkv: `[B, F, HW, 3*heads*d]` raw to_qkv output (rotary NOT applied —
+        it is folded inside the kernel via cos_t/sin_t).
+      bias_flat: `[B, F, heads*F]` fp32 additive bias,
+        `bias_flat[b, i, g*F + j] = pos_bias[g, i, j]` (+ focus-present
+        handling), see :func:`build_bias_flat`.
+      cos_t/sin_t: `[F, 3*heads*d]` rotary tables with the q-scale folded
+        (:func:`rotary_tables`).
+
+    Returns `[B, F, HW, heads*d]`.
+    """
+    return _headpacked_diff(
+        qkv, bias_flat, cos_t, sin_t, heads, dim_head, pack, interpret
+    )
 
 
 def build_bias_flat(

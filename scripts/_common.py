@@ -31,7 +31,22 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "weights are unreachable (smoke/ablation only; conditioning values "
         "will NOT match the reference). Implied by --synthetic.",
     )
+    p.add_argument(
+        "--attn-impl", default="auto", choices=["auto", "xla", "pallas2", "pallas"],
+        help="temporal-attention implementation; auto = head-packed Pallas "
+        "kernel on TPU (fwd+bwd, ~4x the XLA form), XLA einsums elsewhere",
+    )
     return p
+
+
+def resolve_attn_impl(args) -> str:
+    """'auto' -> the Pallas kernel on TPU backends, XLA on host platforms
+    (Pallas non-interpret kernels only run on TPU)."""
+    if args.attn_impl != "auto":
+        return args.attn_impl
+    import jax
+
+    return "pallas2" if jax.default_backend() not in ("cpu",) else "xla"
 
 
 def setup_platform(args) -> None:

@@ -12,7 +12,9 @@ import os
 import jax
 import numpy as np
 
-from _common import base_parser, load_text_embedder, setup_platform
+from _common import (
+    base_parser, load_text_embedder, resolve_attn_impl, setup_platform,
+)
 
 
 def main() -> None:
@@ -48,7 +50,8 @@ def main() -> None:
     cfg = PRESETS[args.dataset]()
     cfg = cfg.replace(
         diffusion=dataclasses.replace(
-            cfg.diffusion, sampling_timesteps=args.sampling_steps
+            cfg.diffusion, sampling_timesteps=args.sampling_steps,
+            temporal_attn_impl=resolve_attn_impl(args),
         )
     )
     model = FlowDiffusion(cfg.lfae, cfg.diffusion)

@@ -12,7 +12,10 @@ import os
 import jax
 import numpy as np
 
-from _common import base_parser, load_text_embedder, resolve_data_root, setup_platform
+from _common import (
+    base_parser, load_text_embedder, resolve_attn_impl, resolve_data_root,
+    setup_platform,
+)
 
 
 def main() -> None:
@@ -47,7 +50,8 @@ def main() -> None:
     cfg = PRESETS[args.dataset]()
     cfg = cfg.replace(
         diffusion=dataclasses.replace(
-            cfg.diffusion, sampling_timesteps=args.sampling_steps
+            cfg.diffusion, sampling_timesteps=args.sampling_steps,
+            temporal_attn_impl=resolve_attn_impl(args),
         )
     )
     model = FlowDiffusion(cfg.lfae, cfg.diffusion)

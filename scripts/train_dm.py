@@ -8,13 +8,17 @@ the data mesh on however many devices exist.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from _common import base_parser, load_text_embedder, resolve_data_root, setup_platform
+from _common import (
+    base_parser, load_text_embedder, resolve_attn_impl, resolve_data_root,
+    setup_platform,
+)
 
 
 def main() -> None:
@@ -43,6 +47,11 @@ def main() -> None:
     )
 
     cfg = PRESETS[args.dataset]()
+    cfg = cfg.replace(
+        diffusion=dataclasses.replace(
+            cfg.diffusion, temporal_attn_impl=resolve_attn_impl(args)
+        )
+    )
     tc = cfg.dm_train
     batch_size = args.batch_size or tc.batch_size
     root = resolve_data_root(args, cfg.lfae.frame_shape)

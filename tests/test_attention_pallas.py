@@ -90,3 +90,33 @@ def test_pick_pack():
     assert pick_pack(1024, 40, target_rows=512) == 8
     assert pick_pack(16, 5) == 16     # 16*5=80
     assert pick_pack(1, 40) == 1
+
+
+@pytest.mark.parametrize("rotary", [True, False])
+def test_headpacked_attention_grads_match_xla(rotary):
+    """Custom-VJP backward kernel == XLA autodiff (weights + pos_bias)."""
+    heads, dh, dim, f = 2, 8, 16, 5
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, f, 4, 4, dim)), jnp.float32)
+    pos_bias = jnp.asarray(rng.standard_normal((heads, f, f)), jnp.float32)
+
+    attn_x = TemporalAttention(dim, heads, dh, impl="xla", use_rotary=rotary)
+    variables = jax.jit(lambda r: attn_x.init(r, x, pos_bias))(
+        jax.random.PRNGKey(0)
+    )
+
+    def loss(attn):
+        def inner(v, pb, xx):
+            out = attn.apply(v, xx, pb)
+            return jnp.sum(out * jnp.cos(out * 3))  # nontrivial cotangent
+
+        return jax.grad(inner, argnums=(0, 1, 2))(variables, pos_bias, x)
+
+    gx = loss(attn_x)
+    gp = loss(
+        TemporalAttention(
+            dim, heads, dh, impl="pallas2_interpret", use_rotary=rotary
+        )
+    )
+    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
