@@ -1,0 +1,136 @@
+"""Training-step throughput benchmark (compute-only, synthetic batch).
+
+Measures the jitted DM train step (pseudo-GT + UNet fwd/bwd + Adam) and
+the LFAE train step at the reference batch sizes on the real chip, with
+true completion syncs. Prints one JSON line per stage. The reference
+prints comparable per-step wall-clock at run time
+(DM/train_video_flow_diffusion_mug.py:228-233); BASELINE.md records the
+measured history.
+
+Usage: python scripts/bench_train.py [--stage dm|lfae|both] [--attn-impl ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_dm(attn_impl: str) -> None:
+    from cvpr23_lfdm_tpu.config import mug_config
+    from cvpr23_lfdm_tpu.models.flow_autoenc import init_lfae_vars
+    from cvpr23_lfdm_tpu.train.dm_trainer import DMTrainer
+    from cvpr23_lfdm_tpu.utils.profiling import time_fn
+
+    cfg = mug_config()
+    cfg = cfg.replace(
+        diffusion=dataclasses.replace(
+            cfg.diffusion, temporal_attn_impl=attn_impl
+        )
+    )
+    bs = cfg.dm_train.batch_size  # reference MUG: 5
+    size = cfg.lfae.frame_shape
+    f = cfg.diffusion.num_frames
+    lfae_vars = init_lfae_vars(jax.random.PRNGKey(0), cfg.lfae)
+    trainer = DMTrainer(cfg, steps_per_epoch=93, lfae_vars=lfae_vars)
+    trainer.place_lfae()
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    k = jax.random.PRNGKey(2)
+    batch = {
+        "ref_img": jax.random.uniform(k, (bs, size, size, 3)),
+        "real_vid": jax.random.uniform(k, (bs, f, size, size, 3)),
+        "cond": jax.random.normal(k, (bs, cfg.diffusion.cond_dim)),
+        "none_cond_mask": jnp.zeros((bs,), bool),
+    }
+
+    carry = {"state": state}
+
+    def step(rng):
+        # thread the state: the jitted step donates its input buffers
+        s2, metrics = trainer.train_step(carry["state"], rng, batch)
+        carry["state"] = s2
+        return metrics["loss"]
+
+    t = time_fn(step, k, iters=6, warmup=2)
+    print(
+        json.dumps(
+            {
+                "metric": "dm_train_step_seconds",
+                "value": round(t["median_s"], 4),
+                "batch_size": bs,
+                "frames": f,
+                "attn_impl": attn_impl,
+            }
+        )
+    )
+
+
+def bench_lfae() -> None:
+    from cvpr23_lfdm_tpu.config import mug_config
+    from cvpr23_lfdm_tpu.train.lfae_trainer import LFAETrainer
+    from cvpr23_lfdm_tpu.utils.profiling import time_fn
+
+    from cvpr23_lfdm_tpu.train.vgg import Vgg19Features
+
+    cfg = mug_config()
+    bs = 8  # fits one chip; reference uses 100 over 8 GPUs
+    size = cfg.lfae.frame_shape
+    vgg_vars = jax.jit(
+        lambda r: Vgg19Features().init(r, jnp.zeros((1, size, size, 3)))
+    )(jax.random.PRNGKey(2))
+    trainer = LFAETrainer(cfg, steps_per_epoch=93, vgg_vars=vgg_vars)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(1)
+    batch = {
+        "source": jax.random.uniform(k, (bs, size, size, 3)),
+        "driving": jax.random.uniform(k, (bs, size, size, 3)),
+    }
+
+    carry = {"state": state}
+
+    def step(rng):
+        s2, metrics = trainer.train_step(carry["state"], rng, batch)
+        carry["state"] = s2
+        return metrics["total"]
+
+    t = time_fn(step, k, iters=6, warmup=2)
+    print(
+        json.dumps(
+            {
+                "metric": "lfae_train_step_seconds",
+                "value": round(t["median_s"], 4),
+                "batch_size": bs,
+            }
+        )
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="dm", choices=["dm", "lfae", "both"])
+    ap.add_argument("--attn-impl", default="pallas2")
+    args = ap.parse_args()
+    from cvpr23_lfdm_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        )
+    )
+    if args.stage in ("dm", "both"):
+        bench_dm(args.attn_impl)
+    if args.stage in ("lfae", "both"):
+        bench_lfae()
+
+
+if __name__ == "__main__":
+    main()
