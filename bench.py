@@ -17,6 +17,9 @@ reference's "ddim" test config, DM/test_video_flow_diffusion_mug.py:28-33)
   * `hbm_gb_per_video` / `hbm_util` — cost-analysis bytes vs 819 GB/s.
   * `batch8_frames_per_sec` — production-serving throughput at B=8,
     where per-dispatch and tunnel-RTT overheads amortize.
+  * `b1_pipelined_fps` — B=1 steady-state with requests enqueued
+    back-to-back (one sync at the end): the per-call ~30 ms tunnel RTT
+    of `value` is a measurement artifact sequential serving never pays.
 """
 
 from __future__ import annotations
@@ -112,6 +115,21 @@ def main() -> None:
     median = times[len(times) // 2]
     fps = NUM_FRAMES / median
 
+    # pipelined B=1 steady state: enqueue K requests back-to-back and sync
+    # once — overlaps the ~30 ms per-call tunnel RTT with device compute
+    # (sequential production serving does not pay a host round-trip per
+    # video). Same latency path, honest throughput framing.
+    k_pipe = 6
+    run_once()  # warm queue
+    t0 = time.perf_counter()
+    outs = [
+        compiled(unet_vars, lfae_vars, k_s, ref_img, cond)
+        for _ in range(k_pipe)
+    ]
+    for o in outs:
+        float(jax.device_get(o))
+    pipe_fps = k_pipe * NUM_FRAMES / (time.perf_counter() - t0)
+
     # production-serving throughput: B videos per dispatch
     bb = BATCH_THROUGHPUT
     ref_b = jnp.broadcast_to(ref_img, (bb,) + ref_img.shape[1:])
@@ -143,6 +161,7 @@ def main() -> None:
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
                 "vs_h100_ceiling": round(fps / BASELINE_FPS_CEILING, 3),
+                "b1_pipelined_fps": round(pipe_fps, 2),
                 "baseline": "h100-analytic, BASELINE.md derivation",
                 "batch8_frames_per_sec": round(batch_fps, 2),
                 "model_tflop_per_video": round(graph_flops / 1e12, 4),
