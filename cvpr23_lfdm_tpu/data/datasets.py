@@ -48,6 +48,16 @@ class _ThreadLocalRNG:
             self._local.rng = rng
         return rng
 
+    def __getstate__(self):
+        # picklable for multiprocess loaders (GrainLoader): ship the seed
+        # sequence; each worker process re-creates its own thread state
+        return {"_seq": self._seq}
+
+    def __setstate__(self, state):
+        self._seq = state["_seq"]
+        self._local = threading.local()
+        self._lock = threading.Lock()
+
 
 def _split_entries(spec: DatasetSpec, root: str, split: str) -> list[VideoEntry]:
     subjects = {

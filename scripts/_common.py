@@ -32,6 +32,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "will NOT match the reference). Implied by --synthetic.",
     )
     p.add_argument(
+        "--loader", default="threads", choices=["threads", "grain"],
+        help="batch loader backend: GIL-releasing thread pool (default) or "
+        "Grain worker PROCESSES (true parallelism, shared-memory transfer)",
+    )
+    p.add_argument(
         "--attn-impl", default="auto", choices=["auto", "xla", "pallas2", "pallas"],
         help="temporal-attention implementation; auto = head-packed Pallas "
         "kernel on TPU (fwd+bwd, ~4x the XLA form), XLA einsums elsewhere",

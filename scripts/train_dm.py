@@ -69,7 +69,14 @@ def main() -> None:
     num_steps = args.num_steps or steps_per_epoch * tc.max_epochs
     # the DM pipeline decodes F frames per sample; decode is the bottleneck
     # (cv2 releases the GIL, so threads scale with host cores)
-    loader = PrefetchLoader(dataset, batch_size, num_workers=16, seed=args.seed)
+    if args.loader == "grain":
+        from cvpr23_lfdm_tpu.data.grain_loader import GrainLoader
+
+        loader = GrainLoader(dataset, batch_size, num_workers=8, seed=args.seed)
+    else:
+        loader = PrefetchLoader(
+            dataset, batch_size, num_workers=16, seed=args.seed
+        )
 
     # frozen stage-1 weights
     if args.lfae_ckpt.endswith(".pth"):

@@ -50,7 +50,14 @@ def main() -> None:
     )
     steps_per_epoch = max(1, len(dataset) // batch_size)
     num_steps = args.num_steps or steps_per_epoch * tc.max_epochs
-    loader = PrefetchLoader(dataset, batch_size, num_workers=6, seed=args.seed)
+    if args.loader == "grain":
+        from cvpr23_lfdm_tpu.data.grain_loader import GrainLoader
+
+        loader = GrainLoader(dataset, batch_size, num_workers=8, seed=args.seed)
+    else:
+        loader = PrefetchLoader(
+            dataset, batch_size, num_workers=6, seed=args.seed
+        )
 
     import jax.numpy as jnp
 

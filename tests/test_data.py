@@ -338,3 +338,26 @@ def test_loader_and_repeater(corpora):
     assert len(batch["name"]) == 4
     batch2 = next(it)
     assert batch2["source"].shape == (4, 32, 32, 3)
+
+
+def test_grain_loader(corpora):
+    """Grain-backed loader yields PrefetchLoader-compatible batches, both
+    in-process and with worker processes (pickled dataset)."""
+    from cvpr23_lfdm_tpu.data.grain_loader import GrainLoader
+
+    spec = get_spec("mug")
+    ds = DMVideoDataset(
+        spec, corpora["mug"], "train", num_frames=6, image_size=32,
+        sampling="very_random", seed=3,
+    )
+    for workers in (0, 2):
+        loader = GrainLoader(ds, batch_size=2, num_workers=workers, seed=5)
+        it = iter(loader)
+        seen = set()
+        for _ in range(3):
+            batch = next(it)
+            assert batch["video"].shape == (2, 6, 32, 32, 3)
+            assert batch["video"].dtype == np.float32
+            assert isinstance(batch["text"], list) and len(batch["text"]) == 2
+            seen.update(batch["name"])
+        assert len(seen) > 1  # shuffled across the corpus
