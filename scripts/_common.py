@@ -32,6 +32,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "will NOT match the reference). Implied by --synthetic.",
     )
     p.add_argument(
+        "--matmul-precision", default="default",
+        choices=["default", "tensorfloat32", "highest"],
+        help="TPU matmul precision for f32 inputs. 'default' multiplies in "
+        "1-pass bf16 (fast); 'highest' = 3-pass fp32 emulation — required "
+        "for strict frame-for-frame parity with the fp32 torch reference",
+    )
+    p.add_argument(
         "--loader", default="threads", choices=["threads", "grain"],
         help="batch loader backend: GIL-releasing thread pool (default) or "
         "Grain worker PROCESSES (true parallelism, shared-memory transfer)",
@@ -55,10 +62,12 @@ def resolve_attn_impl(args) -> str:
 
 
 def setup_platform(args) -> None:
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "matmul_precision", "default") != "default":
+        jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
 
 def resolve_data_root(args, image_size: int = 128) -> str:
