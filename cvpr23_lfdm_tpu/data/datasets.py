@@ -54,7 +54,15 @@ class _ThreadLocalRNG:
         return {"_seq": self._seq}
 
     def __setstate__(self, state):
-        self._seq = state["_seq"]
+        # mix the pid into the seed: every unpickling worker PROCESS gets
+        # an independent stream (a plain copy would replay the parent's
+        # spawn counter and give all Grain workers identical randomness).
+        # Thread-pool loading (no pickling) stays fully run-deterministic.
+        import os
+
+        self._seq = np.random.SeedSequence(
+            entropy=state["_seq"].entropy, spawn_key=(os.getpid(),)
+        )
         self._local = threading.local()
         self._lock = threading.Lock()
 

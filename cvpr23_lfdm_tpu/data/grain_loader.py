@@ -62,35 +62,27 @@ class GrainLoader:
         return iter(self._loader)
 
 
-def _to_batch(samples: list[dict]) -> dict:
-    out = {}
-    for k in samples[0]:
-        v0 = samples[0][k]
-        if isinstance(v0, np.ndarray):
-            out[k] = np.stack([s[k] for s in samples])
-        else:
-            out[k] = [s[k] for s in samples]
-    return out
-
-
 class _CollateBatch:
     """Grain operation: group `batch_size` sample dicts -> one collated
-    batch (same layout as loader.collate, incl. string fields as lists)."""
+    batch (loader.collate layout, incl. string fields as lists)."""
 
     def __init__(self, batch_size: int, drop_last: bool):
         self.batch_size = batch_size
         self.drop_last = drop_last
 
     def __call__(self, records):
+        from cvpr23_lfdm_tpu.data.loader import collate
+
         buf = []
+        last_meta = None
         for rec in records:
             buf.append(rec.data)
+            last_meta = rec.metadata
             if len(buf) == self.batch_size:
-                meta = rec.metadata.remove_record_key()
-                yield _Record(meta, _to_batch(buf))
+                yield _Record(last_meta.remove_record_key(), collate(buf))
                 buf = []
-        if buf and not self.drop_last:
-            yield _Record(meta, _to_batch(buf))
+        if buf and not self.drop_last and last_meta is not None:
+            yield _Record(last_meta.remove_record_key(), collate(buf))
 
 
 class _Record:

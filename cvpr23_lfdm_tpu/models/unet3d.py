@@ -331,6 +331,9 @@ class SpatialLinearAttention(nn.Module):
         qf = q.astype(jnp.float32)
         eq = jnp.exp(qf - jax.lax.stop_gradient(jnp.max(qf, -1, keepdims=True)))
         den = eq @ block.astype(jnp.float32)  # same-head sum, per lane
+        # clamp: a head sitting >~88 below the global row max underflows
+        # its whole segment (degrade to 0, not NaN)
+        den = jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
         q = (eq / den).astype(x.dtype) * (hd**-0.5)
         # k: softmax over n (already lane-dense)
         k = nn.softmax(k.astype(jnp.float32), axis=-2).astype(x.dtype)

@@ -147,17 +147,11 @@ def _headpacked_kernel(
     hd = heads * dim_head
     hf = heads * f
     dtype = qkv_ref.dtype
-    # rotary in fp32 (Mosaic's lane-rotate needs 32-bit data); interleaved
-    # rotate via rolls: rot[2k] = -x[2k+1], rot[2k+1] = x[2k]
-    blk = qkv_ref[0].astype(jnp.float32)  # [F, P, 3hd]
     cos = cos_ref[:].astype(jnp.float32)  # [F, 3hd]
     sin = sin_ref[:].astype(jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 3 * hd), 2)
-    even = (lane % 2) == 0
-    rot = jnp.where(
-        even, -pltpu.roll(blk, 3 * hd - 1, axis=2), pltpu.roll(blk, 1, axis=2)
-    )
-    blk = (blk * cos[:, None, :] + rot * sin[:, None, :]).astype(dtype)
+    blk = _apply_rotary_fp32(
+        qkv_ref[0].astype(jnp.float32), cos, sin, hd
+    ).astype(dtype)  # [F, P, 3hd]
 
     bias = bias_ref[0]  # [F, heads*F] fp32
     # row (g, j) of the tiled K/V keeps only head g's d-columns
@@ -187,6 +181,9 @@ def _headpacked_kernel(
         e = jnp.exp(s - m).astype(dtype)  # [F, heads*F]
         num = jnp.dot(e, v8, preferred_element_type=jnp.float32)  # [F, hd]
         den = jnp.dot(e, maskf, preferred_element_type=jnp.float32)
+        # a head whose logits sit >~88 below the GLOBAL row max underflows
+        # its whole segment to 0; clamp so it degrades to 0 output, not NaN
+        den = jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
         o_ref[0, :, pp, :] = (num / den).astype(o_ref.dtype)
 
 
@@ -249,7 +246,7 @@ def _headpacked_bwd_kernel(
             e.astype(dtype), blockff.astype(dtype),
             preferred_element_type=jnp.float32,
         )
-        prob = e / dl
+        prob = e / jnp.maximum(dl, jnp.finfo(jnp.float32).tiny)
         probt = prob.astype(dtype)
         do = do_ref[0, :, pp, :]  # [F, hd]
         dp = jax.lax.dot_general(

@@ -52,13 +52,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
 
 
 def resolve_attn_impl(args) -> str:
-    """'auto' -> the Pallas kernel on TPU backends, XLA on host platforms
-    (Pallas non-interpret kernels only run on TPU)."""
+    """'auto' -> the Pallas kernel on TPU backends, XLA elsewhere
+    (Mosaic kernels only lower for TPU; gpu/cpu get the einsum form)."""
     if args.attn_impl != "auto":
         return args.attn_impl
     import jax
 
-    return "pallas2" if jax.default_backend() not in ("cpu",) else "xla"
+    return "pallas2" if jax.default_backend() == "tpu" else "xla"
 
 
 def setup_platform(args) -> None:

@@ -73,3 +73,50 @@ def test_resize_bilinear_matches_torch(shape_in, shape_out):
     theirs = F.interpolate(t, size=shape_out, mode="bilinear", align_corners=False)
     theirs = np.transpose(theirs.numpy(), (0, 2, 3, 1))
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border", "reflection"])
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_grid_sample_grads_match_torch(padding_mode, align_corners):
+    """The custom VJP (ops/warp.py: row-scatter d_image + analytic d_grid)
+    vs torch autograd through F.grid_sample — every LFAE training warp
+    backprops through this."""
+    import jax
+
+    rng = np.random.RandomState(4)
+    img = rng.randn(2, 7, 9, 5).astype(np.float32)
+    # interior + out-of-range coords, away from exact gridlines (the
+    # floor() subgradient choice at integer coords is implementation-
+    # defined in both frameworks)
+    grid = (rng.uniform(-1.5, 1.5, size=(2, 6, 4, 2)) + 0.0137).astype(
+        np.float32
+    )
+    co = rng.randn(2, 6, 4, 5).astype(np.float32)
+
+    gi, gg = jax.grad(
+        lambda i, g: jnp.sum(
+            grid_sample(
+                i, g, padding_mode=padding_mode, align_corners=align_corners
+            )
+            * co
+        ),
+        argnums=(0, 1),
+    )(jnp.asarray(img), jnp.asarray(grid))
+
+    t_img = torch.from_numpy(np.transpose(img, (0, 3, 1, 2))).requires_grad_()
+    t_grid = torch.from_numpy(grid).requires_grad_()
+    out = F.grid_sample(
+        t_img, t_grid, mode="bilinear", padding_mode=padding_mode,
+        align_corners=align_corners,
+    )
+    out.mul(torch.from_numpy(np.transpose(co, (0, 3, 1, 2)))).sum().backward()
+
+    np.testing.assert_allclose(
+        np.asarray(gi),
+        np.transpose(t_img.grad.numpy(), (0, 2, 3, 1)),
+        atol=1e-5,
+        err_msg="d_image",
+    )
+    np.testing.assert_allclose(
+        np.asarray(gg), t_grid.grad.numpy(), atol=1e-4, err_msg="d_grid"
+    )
