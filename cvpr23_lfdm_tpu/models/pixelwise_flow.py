@@ -86,15 +86,16 @@ class PixelwiseFlowPredictor(nn.Module):
         return jnp.concatenate([bg_grid[:, None], driving_to_source], axis=1)
 
     def _deformed_source(self, source, sparse_motions):
-        """K+1 warped source copies via one batched grid_sample
-        (pixelwise_flow_predictor.py:95-102). `[B, h, w, (K+1)*C]`."""
+        """K+1 warped source copies via ONE grid_sample per source
+        (pixelwise_flow_predictor.py:95-102): the K+1 grids fold into the
+        grid-row axis instead of repeating the source K+1 times — TPU
+        batched gathers pay per operand-batch, and this was the single
+        most expensive op of the DM train step (49 ms at bs 5) as
+        B*(K+1)=2200 tiny-source gathers. `[B, K+1, h, w, C]`."""
         b, h, w, c = source.shape
         kp1 = sparse_motions.shape[1]
-        src = jnp.broadcast_to(source[:, None], (b, kp1, h, w, c)).reshape(
-            b * kp1, h, w, c
-        )
-        grids = sparse_motions.reshape(b * kp1, h, w, 2)
-        deformed = grid_sample(src, grids)  # [B*(K+1), h, w, C]
+        grids = sparse_motions.reshape(b, kp1 * h, w, 2)
+        deformed = grid_sample(source, grids)  # [B, (K+1)*h, w, C]
         return deformed.reshape(b, kp1, h, w, c)
 
     @nn.compact
