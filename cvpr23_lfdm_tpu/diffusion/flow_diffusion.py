@@ -121,20 +121,24 @@ class FlowDiffusion:
         ref_rep = jnp.repeat(ref_img, f, axis=0)
         bg_params = self.bg_predictor.apply(bg_vars, ref_rep, frames)
 
+        # frame-folded generator forward: encoder + source downsample +
+        # sparse-deform gather run once per video, not once per frame
         generated = self.generator.apply(
             gen_vars,
-            ref_rep,
+            ref_img,
             driving_params,
             _repeat_frames(source_params, f),
             bg_params,
+            frames=f,
+            method=Generator.forward_video,
         )
         out = {
             "vid_grid": _unfold(generated["optical_flow"], b),
             "vid_conf": _unfold(generated["occlusion_map"], b),
             "out_vid": _unfold(generated["prediction"], b),
             "warped_vid": _unfold(generated["deformed"], b),
-            # same reference image every frame; take one bottleneck feature
-            "ref_fea": _unfold(generated["bottle_neck_feat"], b)[:, 0],
+            # encoder ran once per video already
+            "ref_fea": generated["bottle_neck_feat"],
         }
         return jax.lax.stop_gradient(out)
 

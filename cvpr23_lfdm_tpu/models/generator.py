@@ -230,6 +230,42 @@ class Generator(nn.Module):
             output["deformed"] = deformed
         return output
 
+    def forward_video(self, source_image, driving_params, source_params,
+                      bg_params=None, train: bool = False,
+                      frames: int = 1) -> dict:
+        """Frame-folded full forward: `source_image [B, H, W, 3]` with
+        `B*frames` pair entries in the param dicts (every video's frames
+        share its reference frame — the pseudo-GT protocol,
+        video_flow_diffusion_model.py:116-143). The encoder, the
+        anti-aliased source downsample, and the sparse-deform gather each
+        run ONCE per video instead of once per (video, frame) pair;
+        per-pair outputs are `[B*frames, ...]` like a repeated-source
+        `__call__`."""
+        bottleneck_feat, skip_feats = self._encode(source_image, train)
+        output = {"bottle_neck_feat": bottleneck_feat}
+
+        motion = self.pixelwise_flow_predictor(
+            source_image, driving_params, source_params, bg_params, train,
+            frames=frames,
+        )
+        flow = motion["optical_flow"]  # [B*frames, h, w, 2]
+        occlusion = motion.get("occlusion_map")
+        output["optical_flow"] = flow
+        if occlusion is not None:
+            output["occlusion_map"] = occlusion
+
+        prediction, deformed = self._decode_core(
+            bottleneck_feat, skip_feats, source_image, flow,
+            occlusion, train, frames,
+        )
+        output["prediction"] = prediction
+        if deformed is None:  # skips=False: not produced by the decoder
+            deformed = warp_with_occlusion(
+                jnp.repeat(source_image, frames, axis=0), flow
+            )
+        output["deformed"] = deformed
+        return output
+
     def compute_fea(self, source_image, train: bool = False) -> jnp.ndarray:
         bottleneck_feat, _ = self._encode(source_image, train)
         return bottleneck_feat

@@ -85,22 +85,28 @@ class PixelwiseFlowPredictor(nn.Module):
 
         return jnp.concatenate([bg_grid[:, None], driving_to_source], axis=1)
 
-    def _deformed_source(self, source, sparse_motions):
+    def _deformed_source(self, source, sparse_motions, frames=1):
         """K+1 warped source copies via ONE grid_sample per source
-        (pixelwise_flow_predictor.py:95-102): the K+1 grids fold into the
-        grid-row axis instead of repeating the source K+1 times — TPU
-        batched gathers pay per operand-batch, and this was the single
-        most expensive op of the DM train step (49 ms at bs 5) as
-        B*(K+1)=2200 tiny-source gathers. `[B, K+1, h, w, C]`."""
+        (pixelwise_flow_predictor.py:95-102): the K+1 grids (and, under
+        frame folding, all F frames' grids) fold into the grid-row axis
+        instead of repeating the source — TPU batched gathers pay per
+        operand-batch, and this was the single most expensive op of the
+        DM train step (49 ms at bs 5) as B*(K+1)=2200 tiny-source
+        gathers. source `[B, h, w, C]`; sparse_motions
+        `[B*frames, K+1, h, w, 2]`. Returns `[B*frames, K+1, h, w, C]`."""
         b, h, w, c = source.shape
-        kp1 = sparse_motions.shape[1]
-        grids = sparse_motions.reshape(b, kp1 * h, w, 2)
-        deformed = grid_sample(source, grids)  # [B, (K+1)*h, w, C]
-        return deformed.reshape(b, kp1, h, w, c)
+        bp, kp1 = sparse_motions.shape[:2]
+        grids = sparse_motions.reshape(b, (bp // b) * kp1 * h, w, 2)
+        deformed = grid_sample(source, grids)
+        return deformed.reshape(bp, kp1, h, w, c)
 
     @nn.compact
     def __call__(self, source_image, driving_params, source_params,
-                 bg_params=None, train: bool = False) -> dict:
+                 bg_params=None, train: bool = False, frames: int = 1) -> dict:
+        """With `frames > 1`, `source_image` is `[B, H, W, C]` while the
+        param dicts carry `B*frames` pair entries sharing each video's
+        source (pseudo-GT frame folding) — the source is downsampled and
+        gathered ONCE per video instead of once per pair."""
         if self.scale_factor != 1.0:
             source_image = AntiAliasDownsample(self.scale_factor)(source_image)
         b, h, w, c = source_image.shape
@@ -108,7 +114,8 @@ class PixelwiseFlowPredictor(nn.Module):
 
         heatmap = self._heatmaps((h, w), driving_params, source_params)
         sparse_motion = self._sparse_motions((h, w), driving_params, source_params, bg_params)
-        deformed = self._deformed_source(source_image, sparse_motion)
+        deformed = self._deformed_source(source_image, sparse_motion, frames)
+        b = sparse_motion.shape[0]  # pair batch from here on
 
         if self.use_deformed_source:
             # reference interleaves per-region [heatmap_k, deformed_k(3ch)]

@@ -292,3 +292,40 @@ def test_generator_compute_fea_parity(generator_pair):
         theirs = ref.compute_fea(nchw(src))
     out = ours.apply(variables, jnp.asarray(src), method=Generator.compute_fea)
     np.testing.assert_allclose(np.asarray(out), nhwc(theirs), atol=3e-5)
+
+
+def test_forward_video_equals_repeated_call(generator_pair):
+    """Frame-folded full forward (shared encoder + source downsample +
+    single-gather sparse deform) == repeated-source __call__ per pair:
+    2 videos x 2 frames, pairs in b-major order."""
+    ref, ours, variables, src, dri_p, src_p, bg = generator_pair
+    j_dri = jax.tree.map(jnp.asarray, dri_p)
+    j_src = jax.tree.map(jnp.asarray, src_p)
+    baseline = ours.apply(
+        variables,
+        jnp.asarray(np.stack([src[0], src[0], src[1], src[1]])),
+        jax.tree.map(lambda a: jnp.stack([a[0], a[0], a[1], a[1]]), j_dri),
+        jax.tree.map(lambda a: jnp.stack([a[0], a[0], a[1], a[1]]), j_src),
+        jnp.asarray(np.stack([bg[0], bg[0], bg[1], bg[1]])),
+        train=False,
+    )
+    folded = ours.apply(
+        variables,
+        jnp.asarray(src),
+        jax.tree.map(lambda a: jnp.stack([a[0], a[0], a[1], a[1]]), j_dri),
+        jax.tree.map(lambda a: jnp.stack([a[0], a[0], a[1], a[1]]), j_src),
+        jnp.asarray(np.stack([bg[0], bg[0], bg[1], bg[1]])),
+        train=False,
+        frames=2,
+        method=Generator.forward_video,
+    )
+    for key in ("optical_flow", "occlusion_map", "prediction", "deformed"):
+        np.testing.assert_allclose(
+            np.asarray(folded[key]), np.asarray(baseline[key]), atol=1e-6,
+            err_msg=key,
+        )
+    np.testing.assert_allclose(
+        np.asarray(folded["bottle_neck_feat"]),
+        np.asarray(baseline["bottle_neck_feat"])[[0, 2]],
+        atol=1e-6,
+    )
