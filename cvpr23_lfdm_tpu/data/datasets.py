@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import threading
-
 from cvpr23_lfdm_tpu.data import native
 from cvpr23_lfdm_tpu.data.augment import ClipAugment, color_jitter_clip
 from cvpr23_lfdm_tpu.data.io import list_frames, pad_resize, read_image
@@ -29,42 +27,19 @@ from cvpr23_lfdm_tpu.data.specs import DatasetSpec, VideoEntry
 DM_JITTER = dict(brightness=64.0 / 255, contrast=0.25, saturation=0.25, hue=0.04)
 
 
-class _ThreadLocalRNG:
-    """Per-thread numpy Generators (np.random.Generator is NOT thread-safe;
-    PrefetchLoader calls __getitem__ from a thread pool). Each thread gets
-    an independent stream spawned from the dataset seed."""
+def visit_rng(seed: int, epoch: int, index: int) -> np.random.Generator:
+    """Random stream for one dataset visit, derived from identity alone.
 
-    def __init__(self, seed: int):
-        self._seq = np.random.SeedSequence(seed)
-        self._local = threading.local()
-        self._lock = threading.Lock()
-
-    def get(self) -> np.random.Generator:
-        rng = getattr(self._local, "rng", None)
-        if rng is None:
-            with self._lock:
-                child = self._seq.spawn(1)[0]
-            rng = np.random.default_rng(child)
-            self._local.rng = rng
-        return rng
-
-    def __getstate__(self):
-        # picklable for multiprocess loaders (GrainLoader): ship the seed
-        # sequence; each worker process re-creates its own thread state
-        return {"_seq": self._seq}
-
-    def __setstate__(self, state):
-        # mix the pid into the seed: every unpickling worker PROCESS gets
-        # an independent stream (a plain copy would replay the parent's
-        # spawn counter and give all Grain workers identical randomness).
-        # Thread-pool loading (no pickling) stays fully run-deterministic.
-        import os
-
-        self._seq = np.random.SeedSequence(
-            entropy=state["_seq"].entropy, spawn_key=(os.getpid(),)
-        )
-        self._local = threading.local()
-        self._lock = threading.Lock()
+    Keyed by (dataset seed, epoch, index) — NOT by thread/process — so the
+    augmentation stream is identical no matter which loader, worker count,
+    or restart produced the visit. This is what makes crash-resume replay
+    the exact batch stream (the reference cannot: torch workers reseed per
+    run) and makes Grain-worker streams run-to-run reproducible. A fresh
+    Generator per sample costs ~1 us, noise against image decode.
+    """
+    return np.random.default_rng(
+        np.random.SeedSequence(entropy=seed, spawn_key=(epoch, index))
+    )
 
 
 def _split_entries(spec: DatasetSpec, root: str, split: str) -> list[VideoEntry]:
@@ -119,7 +94,7 @@ class DMVideoDataset:
         self.color_jitter = color_jitter
         self.sampling = sampling
         self.mean = np.asarray(mean, np.float32)
-        self._rng = _ThreadLocalRNG(seed)
+        self.seed = seed
         entries = _split_entries(spec, root, split)
         if combos:
             first = {}
@@ -139,7 +114,11 @@ class DMVideoDataset:
         raise KeyError((subject, class_name))
 
     def __getitem__(self, index: int) -> dict:
-        rng = self._rng.get()
+        return self.sample(index, 0)
+
+    def sample(self, index: int, epoch: int = 0) -> dict:
+        """Deterministic visit: same (seed, epoch, index) -> same clip."""
+        rng = visit_rng(self.seed, epoch, index)
         e = self.entries[index]
         paths = list_frames(e.path)
         idx = sample_indices(rng, len(paths), self.num_frames, self.sampling)
@@ -166,7 +145,14 @@ class DMVideoDataset:
 class LFAEPairDataset:
     """Source/driving frame pairs for stage-1 training
     (LFAE/mug_dataset.py:32-120): 2 sorted random frames, pad-resize,
-    clip augmentation (flips + jitter, config/mug128.yaml:28-36)."""
+    clip augmentation (flips + jitter, config/mug128.yaml:28-36).
+
+    `id_sampling` reproduces the generic FramesDataset protocol
+    (LFAE/frames_dataset.py:120-127): the dataset indexes IDENTITIES
+    (subjects) and each visit draws a random take of that identity —
+    instead of indexing takes directly. `pairs_list` is accepted for API
+    parity; the reference stores it and never reads it
+    (frames_dataset.py:89,94 — dead in every shipped config)."""
 
     def __init__(
         self,
@@ -176,19 +162,38 @@ class LFAEPairDataset:
         frame_shape: int = 128,
         augment: ClipAugment | None = ClipAugment(),
         seed: int = 0,
+        id_sampling: bool = False,
+        pairs_list: str | None = None,
     ):
         self.spec = spec
         self.frame_shape = frame_shape
         self.augment = augment
-        self._rng = _ThreadLocalRNG(seed)
+        self.seed = seed
+        self.id_sampling = id_sampling
+        self.pairs_list = pairs_list  # dead reference API knob (see class doc)
         self.entries = _split_entries(spec, root, split)
+        if id_sampling:
+            by_subject: dict[str, list[VideoEntry]] = {}
+            for e in self.entries:
+                by_subject.setdefault(e.subject, []).append(e)
+            self.identities = sorted(by_subject)
+            self._takes = by_subject
 
     def __len__(self) -> int:
+        if self.id_sampling:
+            return len(self.identities)
         return len(self.entries)
 
     def __getitem__(self, index: int) -> dict:
-        rng = self._rng.get()
-        e = self.entries[index]
+        return self.sample(index, 0)
+
+    def sample(self, index: int, epoch: int = 0) -> dict:
+        rng = visit_rng(self.seed, epoch, index)
+        if self.id_sampling:
+            takes = self._takes[self.identities[index]]
+            e = takes[int(rng.integers(0, len(takes)))]
+        else:
+            e = self.entries[index]
         paths = list_frames(e.path)
         idx = pair_indices(rng, len(paths))
         pair = []
@@ -215,4 +220,13 @@ class DatasetRepeater:
         return self.num_repeats * len(self.dataset)
 
     def __getitem__(self, idx: int):
-        return self.dataset[idx % len(self.dataset)]
+        return self.sample(idx, 0)
+
+    def sample(self, idx: int, epoch: int = 0):
+        """Each underlying video is visited `num_repeats` times per repeater
+        epoch; give every visit a distinct deterministic stream."""
+        n = len(self.dataset)
+        inner = getattr(self.dataset, "sample", None)
+        if inner is None:
+            return self.dataset[idx % n]
+        return inner(idx % n, epoch * self.num_repeats + idx // n)

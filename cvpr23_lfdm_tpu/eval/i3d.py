@@ -1,0 +1,199 @@
+"""Inception-I3D (Kinetics-400) — the published FVD feature extractor.
+
+The reference repo has no metrics code at all (SURVEY.md §6; FVD tables
+live in the paper). The standard FVD pipeline embeds videos with an I3D
+network pretrained on Kinetics-400 and takes the Fréchet distance of the
+400-d logits. This module is a TPU-native (NDHWC, flax) reimplementation
+of the de-facto torch weights layout (piergiaj/pytorch-i3d `InceptionI3d`
+— the checkpoint `rgb_imagenet.pt` / `i3d_torchscript.pt` family), plus
+the converter.
+
+Offline weight drop: download `rgb_imagenet.pt` (or any state dict with
+the pytorch_i3d key layout) on a machine with egress, then
+
+    vars = convert_i3d_checkpoint(torch.load("rgb_imagenet.pt", "cpu"))
+    fvd = FVD(i3d_extractor(vars))
+
+Semantics pinned by tests/test_metrics.py against a torch oracle built
+from the same (random) state dict: TF-style dynamic SAME padding,
+BatchNorm eps 1e-3 in eval mode, branch concat order, logits time-mean.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (name, [b0, b1a, b1b, b2a, b2b, b3]) — GoogLeNet channel table
+_MIXED: tuple[tuple[str, tuple[int, ...]], ...] = (
+    ("Mixed_3b", (64, 96, 128, 16, 32, 32)),
+    ("Mixed_3c", (128, 128, 192, 32, 96, 64)),
+    ("Mixed_4b", (192, 96, 208, 16, 48, 64)),
+    ("Mixed_4c", (160, 112, 224, 24, 64, 64)),
+    ("Mixed_4d", (128, 128, 256, 24, 64, 64)),
+    ("Mixed_4e", (112, 144, 288, 32, 64, 64)),
+    ("Mixed_4f", (256, 160, 320, 32, 128, 128)),
+    ("Mixed_5b", (256, 160, 320, 32, 128, 128)),
+    ("Mixed_5c", (384, 192, 384, 48, 128, 128)),
+)
+
+
+def _same_pads(shape, kernel, stride):
+    """TF dynamic SAME padding (pytorch_i3d `compute_pad`), per dim:
+    total = k - s if size % s == 0 else k - size % s (floored at 0)."""
+    pads = []
+    for size, k, s in zip(shape, kernel, stride):
+        total = max(k - s, 0) if size % s == 0 else max(k - size % s, 0)
+        pads.append((total // 2, total - total // 2))
+    return pads
+
+
+class Unit3D(nn.Module):
+    """conv3d (SAME, no bias) -> BN(eps 1e-3, eval stats) -> ReLU."""
+
+    features: int
+    kernel: tuple[int, int, int] = (1, 1, 1)
+    stride: tuple[int, int, int] = (1, 1, 1)
+    use_bn: bool = True
+    use_relu: bool = True
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        pads = _same_pads(x.shape[1:4], self.kernel, self.stride)
+        x = nn.Conv(
+            self.features, self.kernel, strides=self.stride,
+            padding=pads, use_bias=self.use_bias, name="conv3d",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=True, epsilon=1e-3, name="bn"
+            )(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+def _max_pool_same(x, kernel, stride):
+    pads = [(0, 0)] + _same_pads(x.shape[1:4], kernel, stride) + [(0, 0)]
+    x = jnp.pad(x, pads, constant_values=-jnp.inf)
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        (1,) + tuple(kernel) + (1,), (1,) + tuple(stride) + (1,), "VALID",
+    )
+
+
+class InceptionModule(nn.Module):
+    ch: Sequence[int]  # [b0, b1a, b1b, b2a, b2b, b3]
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.ch
+        b0 = Unit3D(c[0], name="b0")(x)
+        b1 = Unit3D(c[2], (3, 3, 3), name="b1b")(Unit3D(c[1], name="b1a")(x))
+        b2 = Unit3D(c[4], (3, 3, 3), name="b2b")(Unit3D(c[3], name="b2a")(x))
+        b3 = Unit3D(c[5], name="b3b")(_max_pool_same(x, (3, 3, 3), (1, 1, 1)))
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+class InceptionI3d(nn.Module):
+    """Input `[B, T, H, W, 3]` (T >= 9 for the temporal strides at 224²),
+    output `[B, num_classes]` logits (time-averaged)."""
+
+    num_classes: int = 400
+
+    @nn.compact
+    def __call__(self, x):
+        x = Unit3D(64, (7, 7, 7), (2, 2, 2), name="Conv3d_1a_7x7")(x)
+        x = _max_pool_same(x, (1, 3, 3), (1, 2, 2))
+        x = Unit3D(64, name="Conv3d_2b_1x1")(x)
+        x = Unit3D(192, (3, 3, 3), name="Conv3d_2c_3x3")(x)
+        x = _max_pool_same(x, (1, 3, 3), (1, 2, 2))
+        for name, ch in _MIXED:
+            x = InceptionModule(ch, name=name)(x)
+            if name == "Mixed_3c":
+                x = _max_pool_same(x, (3, 3, 3), (2, 2, 2))
+            elif name == "Mixed_4f":
+                x = _max_pool_same(x, (2, 2, 2), (2, 2, 2))
+        # global avg pool over (T', H', W') — the torch net's fixed
+        # [2, 7, 7] window equals full extent at 224² input; averaging the
+        # whole extent keeps smaller eval resolutions valid too
+        x = x.mean(axis=(1, 2, 3), keepdims=True)  # [B,1,1,1,C]
+        x = Unit3D(
+            self.num_classes, use_bn=False, use_relu=False, use_bias=True,
+            name="logits",
+        )(x)
+        return x.reshape(x.shape[0], self.num_classes)
+
+
+def convert_i3d_checkpoint(sd: dict) -> dict:
+    """pytorch_i3d state dict -> InceptionI3d variables.
+
+    Keys: `<unit>.conv3d.weight` [O,I,T,H,W] (+`.bias` on logits),
+    `<unit>.bn.{weight,bias,running_mean,running_var}`; units are the
+    endpoint names with `bN[ab]` branches inside Mixed blocks."""
+
+    def to_np(v):
+        return v if isinstance(v, np.ndarray) else v.detach().cpu().numpy()
+
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, leaf):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = leaf
+
+    for key, val in sd.items():
+        parts = key.split(".")
+        unit, rest = parts[:-2], parts[-2:]
+        v = to_np(val)
+        if rest[0] == "conv3d":
+            if rest[1] == "weight":
+                put(params, unit + ["conv3d", "kernel"], v.transpose(2, 3, 4, 1, 0))
+            else:
+                put(params, unit + ["conv3d", "bias"], v)
+        elif rest[0] == "bn":
+            name = {
+                "weight": ("params", "scale"),
+                "bias": ("params", "bias"),
+                "running_mean": ("stats", "mean"),
+                "running_var": ("stats", "var"),
+            }[rest[1]]
+            tree = params if name[0] == "params" else stats
+            put(tree, unit + ["bn", name[1]], v)
+    return {"params": params, "batch_stats": stats}
+
+
+def random_i3d_vars(rng: jax.Array, num_classes: int = 400) -> dict:
+    """Random-weight I3D (tests / relative-FVD smoke)."""
+    model = InceptionI3d(num_classes)
+    return model.init(rng, jnp.zeros((1, 9, 64, 64, 3), jnp.float32))
+
+
+def i3d_extractor(
+    i3d_vars: dict, num_classes: int = 400, resize_to: int | None = 224
+) -> Callable:
+    """`[B, F, H, W, 3] in [0,1] -> [B, 400]` logits, the published-FVD
+    embedding: bilinear resize to 224², values rescaled to [-1, 1]."""
+    from cvpr23_lfdm_tpu.ops.resize import resize_bilinear
+
+    model = InceptionI3d(num_classes)
+
+    @jax.jit
+    def extract(videos: jnp.ndarray) -> jnp.ndarray:
+        b, f, h, w, c = videos.shape
+        x = videos.astype(jnp.float32)
+        if resize_to is not None and (h, w) != (resize_to, resize_to):
+            x = resize_bilinear(
+                x.reshape(b * f, h, w, c), (resize_to, resize_to)
+            ).reshape(b, f, resize_to, resize_to, c)
+        x = x * 2.0 - 1.0
+        return model.apply(i3d_vars, x)
+
+    return extract

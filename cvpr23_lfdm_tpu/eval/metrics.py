@@ -102,7 +102,7 @@ def lpips_distance(
             d = d * lin_weights[li][None, None, None, :]
             total += jnp.mean(jnp.sum(d, axis=-1))
         else:
-            total += jnp.mean(d) * d.shape[-1] ** 0.0  # plain mean per layer
+            total += jnp.mean(d)  # plain mean per layer
     return total
 
 

@@ -48,6 +48,10 @@ def quantile_nonneg(x: jnp.ndarray, q: float) -> jnp.ndarray:
     b, n = x.shape
     x = x.astype(jnp.float32)
     bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    # NaN bit patterns compare as huge positive ints, which would silently
+    # yield an arbitrary finite threshold (e.g. a diverged sampler inside
+    # dynamic_threshold); propagate NaN like jnp.quantile instead
+    row_nan = jnp.any(jnp.isnan(x), axis=-1)
     pos = q * (n - 1)
     k_lo = int(pos)
     frac = pos - k_lo
@@ -55,7 +59,7 @@ def quantile_nonneg(x: jnp.ndarray, q: float) -> jnp.ndarray:
     lo_bits = _kth_smallest_bits(bits, k)
     lo = jax.lax.bitcast_convert_type(lo_bits, jnp.float32)
     if frac == 0.0 or k_lo == n - 1:
-        return lo
+        return jnp.where(row_nan, jnp.nan, lo)
     # (k+1)-th smallest: the lo value again if it has further duplicates,
     # else the smallest value strictly above it
     cnt_le = jnp.sum(bits <= lo_bits[:, None], axis=-1)
@@ -63,4 +67,4 @@ def quantile_nonneg(x: jnp.ndarray, q: float) -> jnp.ndarray:
         jnp.where(bits > lo_bits[:, None], x, jnp.inf), axis=-1
     )
     hi = jnp.where(cnt_le >= k + 2, lo, above)
-    return lo + (hi - lo) * jnp.float32(frac)
+    return jnp.where(row_nan, jnp.nan, lo + (hi - lo) * jnp.float32(frac))

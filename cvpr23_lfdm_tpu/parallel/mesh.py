@@ -45,8 +45,23 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(tree, mesh: Mesh, axis: str = "data"):
-    """Place a host batch onto the mesh, sharded along dim 0."""
+    """Place a host batch onto the mesh, sharded along dim 0.
+
+    Multi-process (DCN): each host passes its LOCAL slice of the global
+    batch (loaders slice by `distributed.host_shard`); the global sharded
+    array is assembled without any cross-host copy of host data
+    (`jax.make_array_from_process_local_data`)."""
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        nproc = jax.process_count()
+
+        def up(x):
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(
+                sh, x, (x.shape[0] * nproc,) + x.shape[1:]
+            )
+
+        return jax.tree.map(up, tree)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
@@ -54,3 +69,83 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params, opt state) across the mesh."""
     sh = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+# --------------------------------------------------------- tensor parallelism
+#
+# Megatron-style partition rules for the Unet3D parameter tree. GSPMD
+# guarantees identical VALUES for any placement (tests prove bit-level
+# sampling parity); these rules pick placements whose collectives pair up:
+# column-parallel to_qkv against row-parallel to_out means attention runs
+# sharded end-to-end with ONE reduce per block; conv output-channel
+# sharding keeps the (B*F, H, W, C) activations channel-sharded through
+# GroupNorm (fp32 stats reduce over the tiny group axis). First match
+# wins; anything unmatched falls back to last-axis-if-divisible, and tiny
+# heads/norms replicate.
+
+UNET_TP_RULES: tuple[tuple[str, tuple], ...] = (
+    # 3-channel output heads + norms + embeddings: replicate
+    ("*final_conv/*", ()),
+    ("*occlusion_conv/*", ()),
+    ("*norm/*", ()),
+    ("*relative_attention_bias*", ()),
+    ("*null_cond_emb", ()),
+    # attention: column-parallel QKV, row-parallel output projection
+    ("*to_qkv/kernel", (None, "model")),
+    ("*to_out/kernel", ("model", None)),
+    ("*to_out/bias", ()),  # row-parallel output is full-size after psum
+    # FiLM conditioning MLPs: column-parallel into the sharded channels
+    ("*mlp/kernel", (None, "model")),
+    ("*mlp/bias", ("model",)),
+    # (1,k,k) convs (proj/res_conv/up/down): output-channel sharding
+    ("*conv/kernel", (None, None, None, "model")),
+    ("*conv/bias", ("model",)),
+    ("*res_conv/kernel", (None, None, None, None, "model")),
+    ("*res_conv/bias", ("model",)),
+    ("*upsample/kernel", (None, None, None, "model")),
+    ("*upsample/bias", ("model",)),
+)
+
+
+def tp_spec(path: str, shape: tuple[int, ...], axis_size: int,
+            rules=UNET_TP_RULES, axis: str = "model") -> P:
+    """PartitionSpec for one parameter. `path` is '/'-joined flax keys."""
+    import fnmatch
+
+    def resolve(entries):
+        spec = [axis if e == "model" else e for e in entries]
+        for dim, name in enumerate(spec):
+            if name is not None and shape[dim] % axis_size != 0:
+                return P()  # indivisible -> replicate
+        return P(*spec)
+
+    for pat, entries in rules:
+        if fnmatch.fnmatch(path, pat):
+            if len(entries) == 0:
+                return P()
+            if len(entries) != len(shape):
+                continue  # rule written for a different rank
+            return resolve(entries)
+    # fallback: shard the last (output) axis when divisible
+    if len(shape) >= 2 and shape[-1] % axis_size == 0:
+        return resolve([None] * (len(shape) - 1) + [axis])
+    return P()
+
+
+def shard_variables(tree, mesh: Mesh, axis: str = "model",
+                    rules=UNET_TP_RULES):
+    """Place a variable pytree onto `mesh` under the TP rule table.
+
+    The reference has no tensor parallelism at all (SURVEY.md §2: its only
+    parallelism is thread DataParallel); this is the TPU-native scale-out
+    for models too big for one chip's HBM — combine with the `data` axis
+    via `make_mesh((tp, dp), ("model", "data"))`.
+    """
+    size = mesh.shape[axis]
+
+    def place(path, x):
+        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        spec = tp_spec(p, x.shape, size, rules, axis)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, tree)

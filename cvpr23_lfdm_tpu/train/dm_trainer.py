@@ -20,7 +20,9 @@ from flax import struct
 
 from cvpr23_lfdm_tpu.config import ExperimentConfig
 from cvpr23_lfdm_tpu.diffusion.flow_diffusion import FlowDiffusion
-from cvpr23_lfdm_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from cvpr23_lfdm_tpu.parallel.mesh import (
+    make_mesh, replicate, shard_batch, shard_variables,
+)
 from cvpr23_lfdm_tpu.train.optim import multistep_adam
 
 
@@ -68,11 +70,22 @@ class DMTrainer:
     # ------------------------------------------------------------------ init
 
     def init_state(self, rng: jax.Array) -> DMTrainState:
+        """Replicated on a pure-`data` mesh; on a mesh with a `model` axis
+        the UNet params + Adam moments are tensor-sharded under the
+        `parallel.mesh.UNET_TP_RULES` partition table (dp x tp training —
+        the reference's DataParallel ceiling has no equivalent)."""
         unet_vars = self.model.init_unet_vars(rng)
         opt_state = self.tx.init(unet_vars["params"])
         state = DMTrainState(
             step=jnp.zeros((), jnp.int32), unet_vars=unet_vars, opt_state=opt_state
         )
+        if "model" in self.mesh.axis_names and self.mesh.shape["model"] > 1:
+            # optax moment trees mirror the param tree -> same specs apply
+            return DMTrainState(
+                step=replicate(state.step, self.mesh),
+                unet_vars=shard_variables(state.unet_vars, self.mesh),
+                opt_state=shard_variables(state.opt_state, self.mesh),
+            )
         return replicate(state, self.mesh)
 
     def place_lfae(self):
@@ -169,16 +182,24 @@ class DMTrainer:
         gif_every: int = 0,
         sample_fn=None,
         sample_every: int = 0,
+        start_step: int = 0,
     ) -> DMTrainState:
         """Step-count-based loop (reference DM train scripts :213-390).
         Periodic hooks, each `fn(state, batch, step)`:
           viz_fn    -- still-image grid (reference :252-280)
           gif_fn    -- training-batch GIF dump (reference :282-318)
           sample_fn -- mid-training `sample_one_video` GIF (reference :320-360)
+
+        `start_step` is the resume protocol (reference `--set-start`
+        recomputing `start_step` from the restored counter, DM train
+        :173-181): the loop runs only the REMAINING `num_steps -
+        start_step` steps, and the per-step RNG is `fold_in(rng, step)`
+        over the global step index — a resumed run draws the exact noise
+        stream a straight-through run would have.
         """
         t0 = time.perf_counter()
-        for i in range(num_steps):
-            rng, step_rng = jax.random.split(rng)
+        for i in range(start_step, num_steps):
+            step_rng = jax.random.fold_in(rng, i)
             batch = next(batches)
             if viz_fn and viz_every and (i + 1) % viz_every == 0:
                 viz_fn(state, batch, i + 1)

@@ -190,10 +190,14 @@ class LFAETrainer:
         checkpoint_every: int = 5000,
         viz_fn=None,
         viz_every: int = 0,
+        start_step: int = 0,
     ) -> LFAETrainState:
+        """`start_step`: resume protocol (LFAE/train.py:44-56) — run only
+        the remaining steps; per-step RNG is `fold_in(rng, global_step)`
+        so a resumed run replays the straight-through noise stream."""
         t0 = time.perf_counter()
-        for i in range(num_steps):
-            rng, step_rng = jax.random.split(rng)
+        for i in range(start_step, num_steps):
+            step_rng = jax.random.fold_in(rng, i)
             batch = next(batches)
             if viz_fn and viz_every and (i + 1) % viz_every == 0:
                 viz_fn(state, batch, i + 1)

@@ -28,8 +28,20 @@ class CheckpointManager:
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
 
-    def save(self, state: Any, step: int | None = None, rolling: bool = True) -> str:
-        """Save a snapshot; with `rolling`, also refresh `latest`."""
+    def save(
+        self,
+        state: Any,
+        step: int | None = None,
+        rolling: bool = True,
+        extra: dict | None = None,
+    ) -> str:
+        """Save a snapshot; with `rolling`, also refresh `latest`.
+
+        `extra` is a small JSON-serializable sidecar (host-side resume
+        state: data-loader iterator position, host RNG seed, ...) written
+        atomically next to the Orbax directory as `<name>.extra.json`;
+        bytes values are base64-encoded.
+        """
         if step is None and not rolling:
             raise ValueError("save() needs a step, rolling=True, or both")
         state = jax.device_get(state)
@@ -37,11 +49,47 @@ class CheckpointManager:
             path = self._path(f"step_{int(step):08d}")
             self._ckptr.save(path, state, force=True)
             self._gc()
+            if extra is not None:
+                self._write_extra(f"step_{int(step):08d}", extra)
         if rolling:
             path = self._path("latest")
             self._ckptr.save(path, state, force=True)
+            if extra is not None:
+                self._write_extra("latest", extra)
         self._ckptr.wait_until_finished()
         return path
+
+    def _write_extra(self, name: str, extra: dict) -> None:
+        import base64
+        import json
+
+        def enc(v):
+            if isinstance(v, bytes):
+                return {"__bytes_b64__": base64.b64encode(v).decode("ascii")}
+            return v
+
+        tmp = self._path(f".{name}.extra.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({k: enc(v) for k, v in extra.items()}, f)
+        os.replace(tmp, self._path(f"{name}.extra.json"))
+
+    def load_extra(self, name: str = "latest") -> dict | None:
+        """Sidecar saved alongside `name`, or None if absent."""
+        import base64
+        import json
+
+        path = self._path(f"{name}.extra.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            raw = json.load(f)
+
+        def dec(v):
+            if isinstance(v, dict) and "__bytes_b64__" in v:
+                return base64.b64decode(v["__bytes_b64__"])
+            return v
+
+        return {k: dec(v) for k, v in raw.items()}
 
     def restore(self, target: Any, name: str = "latest") -> Any:
         """Restore into the structure of `target` (an abstract or concrete
@@ -61,12 +109,17 @@ class CheckpointManager:
 
     def _gc(self):
         steps = sorted(
-            d for d in os.listdir(self.directory) if d.startswith("step_")
+            d
+            for d in os.listdir(self.directory)
+            if d.startswith("step_") and not d.endswith(".extra.json")
         )
+        import contextlib
         import shutil
 
         for d in steps[: -self.max_to_keep]:
             shutil.rmtree(os.path.join(self.directory, d), ignore_errors=True)
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(self.directory, d + ".extra.json"))
 
 
 def load_torch_state_dicts(path: str) -> dict:

@@ -18,11 +18,16 @@ import jax.numpy as jnp
 
 
 def enable_compile_cache(cache_dir: str) -> None:
-    """Persistent XLA compilation cache; safe no-op when unsupported or the
-    directory is not writable (e.g. read-only checkouts)."""
+    """Persistent XLA compilation cache; safe no-op when unsupported, the
+    directory is not writable (e.g. read-only checkouts), or the backend
+    is the tunneled TPU — serializing the large sampler executable through
+    the axon tunnel wedges compiles for tens of minutes (and remote
+    compiles never hit the cache anyway, see CLAUDE.md)."""
     import os
 
     try:
+        if jax.default_backend() != "cpu":
+            return
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -48,6 +48,16 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         help="temporal-attention implementation; auto = head-packed Pallas "
         "kernel on TPU (fwd+bwd, ~4x the XLA form), XLA einsums elsewhere",
     )
+    p.add_argument(
+        "--coordinator", default="",
+        help="multi-host: coordinator address host:port (DCN training; "
+        "every process runs this same script). On TPU pods with cluster "
+        "metadata, pass --num-processes alone and jax auto-detects.",
+    )
+    p.add_argument("--num-processes", type=int, default=0,
+                   help="multi-host: total process count (0 = single)")
+    p.add_argument("--process-id", type=int, default=-1,
+                   help="multi-host: this process's id (with --coordinator)")
     return p
 
 
@@ -68,6 +78,18 @@ def setup_platform(args) -> None:
         jax.config.update("jax_platforms", args.platform)
     if getattr(args, "matmul_precision", "default") != "default":
         jax.config.update("jax_default_matmul_precision", args.matmul_precision)
+    if getattr(args, "num_processes", 0) > 1 or getattr(args, "coordinator", ""):
+        from cvpr23_lfdm_tpu.parallel.distributed import init_distributed
+
+        info = init_distributed(
+            coordinator_address=args.coordinator or None,
+            num_processes=args.num_processes or None,
+            process_id=args.process_id if args.process_id >= 0 else None,
+        )
+        print(
+            f"multi-host: process {info['process_index']}/"
+            f"{info['process_count']}, {info['device_count']} devices"
+        )
 
 
 def resolve_data_root(args, image_size: int = 128) -> str:
@@ -97,15 +119,17 @@ def resolve_data_root(args, image_size: int = 128) -> str:
     return root
 
 
-def load_text_embedder(dataset_or_args):
+def load_text_embedder(dataset_or_args, allow_random: bool = False):
     """Cached BERT class-text table. When no cache exists and weights are
     unreachable, this is a HARD error unless --allow-random-text (or
     --synthetic smoke mode): silently training/serving on a random table
-    produces conditioning values that cannot match the reference."""
+    produces conditioning values that cannot match the reference. Direct
+    string-dataset callers get the same hard-error default; tests opt in
+    with `allow_random=True` explicitly."""
     from cvpr23_lfdm_tpu.models.text import DATASET_CLASSES, TextEmbedder
 
     if isinstance(dataset_or_args, str):  # tests / direct calls
-        dataset, bert_path, allow_random = dataset_or_args, "bert-base-cased", True
+        dataset, bert_path = dataset_or_args, "bert-base-cased"
     else:
         args = dataset_or_args
         dataset = args.dataset

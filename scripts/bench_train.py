@@ -23,6 +23,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+V5E_PEAK_TFLOPS = 197.0  # bf16 dense
+V5E_HBM_GBPS = 819.0
+
+
+def _cost(compiled) -> tuple[float, float]:
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
 
 def bench_dm(attn_impl: str) -> None:
     from cvpr23_lfdm_tpu.config import mug_config
@@ -51,6 +61,16 @@ def bench_dm(attn_impl: str) -> None:
         "none_cond_mask": jnp.zeros((bs,), bool),
     }
 
+    # roofline accounting (VERDICT r2 #6): XLA cost analysis of the
+    # compiled step — same method as bench.py's serving MFU
+    from cvpr23_lfdm_tpu.parallel.mesh import shard_batch
+
+    sb = shard_batch(batch, trainer.mesh)
+    compiled = trainer._train_step.lower(
+        state, trainer.lfae_vars, k, sb, with_monitoring=False
+    ).compile()
+    flops, nbytes = _cost(compiled)
+
     carry = {"state": state}
 
     def step(rng):
@@ -60,14 +80,20 @@ def bench_dm(attn_impl: str) -> None:
         return metrics["loss"]
 
     t = time_fn(step, k, iters=6, warmup=2)
+    sec = t["median_s"]
     print(
         json.dumps(
             {
                 "metric": "dm_train_step_seconds",
-                "value": round(t["median_s"], 4),
+                "value": round(sec, 4),
                 "batch_size": bs,
                 "frames": f,
                 "attn_impl": attn_impl,
+                "step_tflop": round(flops / 1e12, 4),
+                "achieved_tflops": round(flops / sec / 1e12, 2),
+                "mfu": round(flops / sec / 1e12 / V5E_PEAK_TFLOPS, 4),
+                "hbm_gb": round(nbytes / 1e9, 2),
+                "hbm_util": round(nbytes / sec / 1e9 / V5E_HBM_GBPS, 3),
             }
         )
     )
@@ -94,6 +120,12 @@ def bench_lfae() -> None:
         "driving": jax.random.uniform(k, (bs, size, size, 3)),
     }
 
+    from cvpr23_lfdm_tpu.parallel.mesh import shard_batch
+
+    sb = shard_batch(batch, trainer.mesh)
+    compiled = trainer._train_step.lower(state, k, sb).compile()
+    flops, nbytes = _cost(compiled)
+
     carry = {"state": state}
 
     def step(rng):
@@ -102,12 +134,18 @@ def bench_lfae() -> None:
         return metrics["total"]
 
     t = time_fn(step, k, iters=6, warmup=2)
+    sec = t["median_s"]
     print(
         json.dumps(
             {
                 "metric": "lfae_train_step_seconds",
-                "value": round(t["median_s"], 4),
+                "value": round(sec, 4),
                 "batch_size": bs,
+                "step_tflop": round(flops / 1e12, 4),
+                "achieved_tflops": round(flops / sec / 1e12, 2),
+                "mfu": round(flops / sec / 1e12 / V5E_PEAK_TFLOPS, 4),
+                "hbm_gb": round(nbytes / 1e9, 2),
+                "hbm_util": round(nbytes / sec / 1e9 / V5E_HBM_GBPS, 3),
             }
         )
     )

@@ -67,16 +67,6 @@ def main() -> None:
     )
     steps_per_epoch = max(1, len(dataset) // batch_size)
     num_steps = args.num_steps or steps_per_epoch * tc.max_epochs
-    # the DM pipeline decodes F frames per sample; decode is the bottleneck
-    # (cv2 releases the GIL, so threads scale with host cores)
-    if args.loader == "grain":
-        from cvpr23_lfdm_tpu.data.grain_loader import GrainLoader
-
-        loader = GrainLoader(dataset, batch_size, num_workers=8, seed=args.seed)
-    else:
-        loader = PrefetchLoader(
-            dataset, batch_size, num_workers=16, seed=args.seed
-        )
 
     # frozen stage-1 weights
     if args.lfae_ckpt.endswith(".pth"):
@@ -102,9 +92,37 @@ def main() -> None:
 
     rng, init_rng = jax.random.split(jax.random.PRNGKey(args.seed))
     state = trainer.init_state(init_rng)
+    start_step = 0
     if args.resume and ckpt.has_latest():
         state = ckpt.restore(jax.device_get(state))
-        print(f"resumed at step {int(state.step)}")
+        # reference --set-start protocol (DM train :173-181): recompute the
+        # start step from the restored counter and run only the remainder
+        start_step = int(jax.device_get(state.step))
+        print(f"resumed at step {start_step}")
+
+    # the DM pipeline decodes F frames per sample; decode is the bottleneck
+    # (cv2 releases the GIL, so threads scale with host cores). Multi-host:
+    # each process loads only its shard of the global batch.
+    from cvpr23_lfdm_tpu.parallel.distributed import host_shard, is_primary
+
+    shard_i, shard_n, _ = host_shard(batch_size)
+    if args.loader == "grain":
+        from cvpr23_lfdm_tpu.data.grain_loader import GrainLoader
+
+        loader = GrainLoader(
+            dataset, batch_size, num_workers=8, seed=args.seed,
+            shard_index=shard_i, shard_count=shard_n,
+        )
+        extra = ckpt.load_extra() if start_step else None
+        if extra and "grain_state" in extra:
+            loader.set_state(extra["grain_state"])
+    else:
+        # batch stream is a pure function of (dataset, seed, batch number):
+        # seeking to start_step replays exactly the straight-through stream
+        loader = PrefetchLoader(
+            dataset, batch_size, num_workers=16, seed=args.seed,
+            start_batch=start_step, shard_index=shard_i, shard_count=shard_n,
+        )
 
     def batches():
         for batch in loader:
@@ -117,7 +135,10 @@ def main() -> None:
             }
 
     def checkpoint_fn(s):
-        ckpt.save(s, step=int(jax.device_get(s.step)))
+        extra = {"seed": args.seed}
+        if args.loader == "grain":
+            extra["grain_state"] = loader.get_state()
+        ckpt.save(s, step=int(jax.device_get(s.step)), extra=extra)
 
     from cvpr23_lfdm_tpu.ops.grid import make_coordinate_grid
     from cvpr23_lfdm_tpu.utils.viz import (
@@ -204,15 +225,21 @@ def main() -> None:
         name = f"B{batch_size:04d}_S{step:06d}.gif"
         save_gif(os.path.join(sample_dir, name), frames)
 
+    primary = is_primary()  # host-side artifacts/checkpoints: process 0 only
     state = trainer.fit(
         state, batches(), num_steps, rng,
-        checkpoint_fn=checkpoint_fn, checkpoint_every=tc.update_ckpt_freq,
-        viz_fn=viz_fn, viz_every=args.save_img_freq or tc.save_img_freq,
-        gif_fn=gif_fn, gif_every=args.save_vid_freq or tc.save_vid_freq,
-        sample_fn=sample_fn,
+        checkpoint_fn=checkpoint_fn if primary else None,
+        checkpoint_every=tc.update_ckpt_freq,
+        viz_fn=viz_fn if primary else None,
+        viz_every=args.save_img_freq or tc.save_img_freq,
+        gif_fn=gif_fn if primary else None,
+        gif_every=args.save_vid_freq or tc.save_vid_freq,
+        sample_fn=sample_fn if primary else None,
         sample_every=args.sample_vid_freq or tc.sample_vid_freq,
+        start_step=start_step,
     )
-    ckpt.save(state, step=int(jax.device_get(state.step)))
+    if primary:
+        ckpt.save(state, step=int(jax.device_get(state.step)))
     print("done")
 
 

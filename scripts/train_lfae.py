@@ -50,14 +50,6 @@ def main() -> None:
     )
     steps_per_epoch = max(1, len(dataset) // batch_size)
     num_steps = args.num_steps or steps_per_epoch * tc.max_epochs
-    if args.loader == "grain":
-        from cvpr23_lfdm_tpu.data.grain_loader import GrainLoader
-
-        loader = GrainLoader(dataset, batch_size, num_workers=8, seed=args.seed)
-    else:
-        loader = PrefetchLoader(
-            dataset, batch_size, num_workers=6, seed=args.seed
-        )
 
     import jax.numpy as jnp
 
@@ -81,16 +73,42 @@ def main() -> None:
         state = trainer.load_state(load_lfae_from_torch(args.warm_start, cfg.lfae))
     else:
         state = trainer.init_state(init_rng)
+    start_step = 0
     if args.resume and ckpt.has_latest():
         state = ckpt.restore(jax.device_get(state))
-        print(f"resumed at step {int(state.step)}")
+        # reference resume protocol (LFAE/train.py:44-56): recompute the
+        # start step from the restored counter, run only the remainder
+        start_step = int(jax.device_get(state.step))
+        print(f"resumed at step {start_step}")
+
+    from cvpr23_lfdm_tpu.parallel.distributed import host_shard, is_primary
+
+    shard_i, shard_n, _ = host_shard(batch_size)
+    if args.loader == "grain":
+        from cvpr23_lfdm_tpu.data.grain_loader import GrainLoader
+
+        loader = GrainLoader(
+            dataset, batch_size, num_workers=8, seed=args.seed,
+            shard_index=shard_i, shard_count=shard_n,
+        )
+        extra = ckpt.load_extra() if start_step else None
+        if extra and "grain_state" in extra:
+            loader.set_state(extra["grain_state"])
+    else:
+        loader = PrefetchLoader(
+            dataset, batch_size, num_workers=6, seed=args.seed,
+            start_batch=start_step, shard_index=shard_i, shard_count=shard_n,
+        )
 
     os.makedirs(args.log_dir, exist_ok=True)
     viz_dir = os.path.join(args.log_dir, "lfae_imgs")
     viz = Visualizer()
 
     def checkpoint_fn(s):
-        ckpt.save(s, step=int(jax.device_get(s.step)))
+        extra = {"seed": args.seed}
+        if args.loader == "grain":
+            extra["grain_state"] = loader.get_state()
+        ckpt.save(s, step=int(jax.device_get(s.step)), extra=extra)
 
     save_img_freq = args.save_img_freq or tc.save_img_freq
 
@@ -104,12 +122,16 @@ def main() -> None:
             viz.visualize(batch["source"], batch["driving"], out),
         )
 
+    primary = is_primary()
     state = trainer.fit(
         state, iter(loader), num_steps, rng,
-        checkpoint_fn=checkpoint_fn, checkpoint_every=tc.update_ckpt_freq,
-        viz_fn=viz_fn, viz_every=save_img_freq,
+        checkpoint_fn=checkpoint_fn if primary else None,
+        checkpoint_every=tc.update_ckpt_freq,
+        viz_fn=viz_fn if primary else None, viz_every=save_img_freq,
+        start_step=start_step,
     )
-    ckpt.save(state, step=int(jax.device_get(state.step)))
+    if primary:
+        ckpt.save(state, step=int(jax.device_get(state.step)))
     print("done")
 
 

@@ -361,3 +361,137 @@ def test_grain_loader(corpora):
             assert isinstance(batch["text"], list) and len(batch["text"]) == 2
             seen.update(batch["name"])
         assert len(seen) > 1  # shuffled across the corpus
+
+
+# ------------------------------------------- geometric augmentation (round 3)
+
+
+def _rotate_bruteforce(img, angle_deg):
+    """Loop-based oracle for skimage `rotate(img, angle)` semantics
+    (augmentation.py:199-204): inverse map src = R(+angle)(dst - c) + c in
+    (x, y) with center (cols/2 - 0.5, rows/2 - 0.5), bilinear, zero fill."""
+    h, w, c = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    a = np.deg2rad(angle_deg)
+    out = np.zeros_like(img)
+    for y in range(h):
+        for x in range(w):
+            sx = np.cos(a) * (x - cx) - np.sin(a) * (y - cy) + cx
+            sy = np.sin(a) * (x - cx) + np.cos(a) * (y - cy) + cy
+            x0, y0 = int(np.floor(sx)), int(np.floor(sy))
+            fx, fy = sx - x0, sy - y0
+            acc = np.zeros((c,), np.float64)
+            for dy, wy in ((0, 1 - fy), (1, fy)):
+                for dx, wx in ((0, 1 - fx), (1, fx)):
+                    xi, yi = x0 + dx, y0 + dy
+                    if 0 <= xi < w and 0 <= yi < h:
+                        acc += wx * wy * img[yi, xi]
+            out[y, x] = acc
+    return out
+
+
+def test_rotate_clip_matches_bruteforce():
+    from cvpr23_lfdm_tpu.data.augment import rotate_clip
+
+    rng = np.random.default_rng(0)
+    # non-square: exercises the per-axis centering
+    clip = rng.random((2, 9, 13, 3)).astype(np.float32)
+    for angle in (0.0, 14.5, -30.0, 90.0):
+        got = rotate_clip(clip, angle)
+        for f in range(2):
+            np.testing.assert_allclose(
+                got[f], _rotate_bruteforce(clip[f], angle), atol=1e-5
+            )
+
+
+def test_random_resize_clip_scale_range():
+    """RandomResize (augmentation.py:105-133): one uniform factor in
+    `ratio`, floor-to-int sizes, shared by all frames."""
+    from cvpr23_lfdm_tpu.data.augment import random_resize_clip
+
+    clip = np.random.default_rng(1).random((3, 20, 30, 3)).astype(np.float32)
+    sizes = set()
+    for seed in range(20):
+        out = random_resize_clip(
+            np.random.default_rng(seed), clip, ratio=(0.75, 4.0 / 3.0)
+        )
+        h, w = out.shape[1:3]
+        assert int(20 * 0.75) <= h <= int(20 * 4 / 3)
+        assert int(30 * 0.75) <= w <= int(30 * 4 / 3)
+        # aspect preserved up to the int() floor
+        assert abs(h / 20 - w / 30) < 0.05
+        sizes.add((h, w))
+    assert len(sizes) > 5  # actually random
+
+
+def test_pad_clip_edge_and_gate():
+    """pad_clip (augmentation.py:113-118): centered edge padding, applied
+    only when target >= image extent (the `h < im_h` gate)."""
+    from cvpr23_lfdm_tpu.data.augment import pad_clip
+
+    clip = np.arange(2 * 3 * 4 * 1, dtype=np.float32).reshape(2, 3, 4, 1)
+    out = pad_clip(clip, 5, 4)
+    assert out.shape == (2, 5, 4, 1)
+    np.testing.assert_array_equal(out[:, 0], out[:, 1])  # edge replicate
+    # target smaller than the image: no padding at all
+    assert pad_clip(clip, 2, 2).shape == clip.shape
+
+
+def test_random_crop_clip_shared_window():
+    """RandomCrop (augmentation.py:136-172): one window for all frames;
+    output always (h, w) even from smaller inputs (edge pad first)."""
+    from cvpr23_lfdm_tpu.data.augment import random_crop_clip
+
+    rng = np.random.default_rng(3)
+    base = np.random.default_rng(0).random((1, 16, 16, 3)).astype(np.float32)
+    clip = np.concatenate([base, base], axis=0)  # identical frames
+    out = random_crop_clip(rng, clip, 8)
+    assert out.shape == (2, 8, 8, 3)
+    np.testing.assert_array_equal(out[0], out[1])  # same window per frame
+    # crop larger than image: pad path
+    out2 = random_crop_clip(rng, clip, (20, 20))
+    assert out2.shape == (2, 20, 20, 3)
+
+
+def test_clip_augment_geometric_pipeline():
+    """Full AllAugmentationTransform order (flip -> rotation -> resize ->
+    crop -> jitter) produces valid clips; geometric stages default off."""
+    from cvpr23_lfdm_tpu.data.augment import ClipAugment
+
+    clip = np.random.default_rng(5).random((4, 24, 24, 3)).astype(np.float32)
+    aug = ClipAugment(
+        rotation_degrees=15.0, resize_ratio=(0.9, 1.1), crop_size=24
+    )
+    out = aug(np.random.default_rng(7), clip)
+    assert out.shape == (4, 24, 24, 3)
+    assert out.dtype == np.float32
+    assert np.isfinite(out).all()
+    assert 0.0 <= out.min() and out.max() <= 1.0
+    # defaults leave the frame geometry untouched
+    out_default = ClipAugment()(np.random.default_rng(8), clip)
+    assert out_default.shape == clip.shape
+
+
+def test_lfae_pair_dataset_id_sampling(corpora):
+    """id_sampling indexes identities and draws a random take per visit
+    (frames_dataset.py:120-127); pairs_list is accepted (dead in the
+    reference too, frames_dataset.py:89,94)."""
+    spec = get_spec("mug")
+    flat = LFAEPairDataset(
+        spec, corpora["mug"], "train", frame_shape=32, augment=None
+    )
+    ds = LFAEPairDataset(
+        spec, corpora["mug"], "train", frame_shape=32, augment=None,
+        id_sampling=True, pairs_list="unused.csv", seed=1,
+    )
+    subjects = {e.subject for e in flat.entries}
+    assert len(ds) == len(subjects)  # identities, not takes
+    assert len(flat) > len(ds)
+    # deterministic per visit; take varies across visits of one identity
+    a = ds.sample(0, epoch=0)
+    a2 = ds.sample(0, epoch=0)
+    assert a["name"] == a2["name"]
+    names = {ds.sample(0, epoch=e)["name"] for e in range(16)}
+    assert len(names) > 1
+    subj = ds.identities[0]
+    assert all(n in {e.name for e in ds._takes[subj]} for n in names)

@@ -84,3 +84,246 @@ def test_vgg_video_extractor_shape():
     ex = vgg_video_extractor(lambda x: vgg.apply(vars_, x))
     out = ex(jnp.zeros((2, 4, 32, 32, 3)))
     assert out.shape[0] == 2 and out.ndim == 2
+
+
+# ----------------------------------------- published-scale extractors (r3)
+
+
+def _rand_unit3d_sd(rng, prefix, cin, cout, k, bn=True, bias=False):
+    """Random pytorch_i3d-layout params for one Unit3D."""
+    import torch
+
+    sd = {
+        f"{prefix}.conv3d.weight": torch.tensor(
+            rng.standard_normal((cout, cin, k, k, k)).astype("float32") * 0.1
+        )
+    }
+    if bias:
+        sd[f"{prefix}.conv3d.bias"] = torch.tensor(
+            rng.standard_normal(cout).astype("float32")
+        )
+    if bn:
+        sd[f"{prefix}.bn.weight"] = torch.tensor(
+            1.0 + 0.1 * rng.standard_normal(cout).astype("float32")
+        )
+        sd[f"{prefix}.bn.bias"] = torch.tensor(
+            0.1 * rng.standard_normal(cout).astype("float32")
+        )
+        sd[f"{prefix}.bn.running_mean"] = torch.tensor(
+            0.1 * rng.standard_normal(cout).astype("float32")
+        )
+        sd[f"{prefix}.bn.running_var"] = torch.tensor(
+            (1.0 + 0.1 * rng.random(cout)).astype("float32")
+        )
+    return sd
+
+
+def _i3d_random_sd(rng):
+    from cvpr23_lfdm_tpu.eval.i3d import _MIXED
+
+    sd = {}
+    sd.update(_rand_unit3d_sd(rng, "Conv3d_1a_7x7", 3, 64, 7))
+    sd.update(_rand_unit3d_sd(rng, "Conv3d_2b_1x1", 64, 64, 1))
+    sd.update(_rand_unit3d_sd(rng, "Conv3d_2c_3x3", 64, 192, 3))
+    cin = 192
+    for name, c in _MIXED:
+        sd.update(_rand_unit3d_sd(rng, f"{name}.b0", cin, c[0], 1))
+        sd.update(_rand_unit3d_sd(rng, f"{name}.b1a", cin, c[1], 1))
+        sd.update(_rand_unit3d_sd(rng, f"{name}.b1b", c[1], c[2], 3))
+        sd.update(_rand_unit3d_sd(rng, f"{name}.b2a", cin, c[3], 1))
+        sd.update(_rand_unit3d_sd(rng, f"{name}.b2b", c[3], c[4], 3))
+        sd.update(_rand_unit3d_sd(rng, f"{name}.b3b", cin, c[5], 1))
+        cin = c[0] + c[2] + c[4] + c[5]
+    sd.update(_rand_unit3d_sd(rng, "logits", cin, 400, 1, bn=False, bias=True))
+    return sd
+
+
+def _torch_unit3d(x, sd, prefix, stride=(1, 1, 1), bn=True, relu=True):
+    import torch.nn.functional as F
+
+    w = sd[f"{prefix}.conv3d.weight"]
+    k = w.shape[2:]
+    pads = []
+    for size, kk, s in zip(x.shape[2:], k, stride):
+        total = max(kk - s, 0) if size % s == 0 else max(kk - size % s, 0)
+        pads.append((total // 2, total - total // 2))
+    x = F.pad(
+        x,
+        (pads[2][0], pads[2][1], pads[1][0], pads[1][1], pads[0][0], pads[0][1]),
+    )
+    x = F.conv3d(x, w, sd.get(f"{prefix}.conv3d.bias"), stride=stride)
+    if bn:
+        x = F.batch_norm(
+            x,
+            sd[f"{prefix}.bn.running_mean"], sd[f"{prefix}.bn.running_var"],
+            sd[f"{prefix}.bn.weight"], sd[f"{prefix}.bn.bias"],
+            training=False, eps=1e-3,
+        )
+    return F.relu(x) if relu else x
+
+
+def _torch_maxpool_same(x, k, s):
+    import torch.nn.functional as F
+
+    pads = []
+    for size, kk, ss in zip(x.shape[2:], k, s):
+        total = max(kk - ss, 0) if size % ss == 0 else max(kk - size % ss, 0)
+        pads.append((total // 2, total - total // 2))
+    x = F.pad(
+        x,
+        (pads[2][0], pads[2][1], pads[1][0], pads[1][1], pads[0][0], pads[0][1]),
+        value=float("-inf"),
+    )
+    return F.max_pool3d(x, k, s)
+
+
+def _torch_i3d(x, sd):
+    """Oracle: pytorch_i3d InceptionI3d forward (eval mode) in functional
+    torch, global-extent average pool before the logits conv."""
+    import torch
+
+    from cvpr23_lfdm_tpu.eval.i3d import _MIXED
+
+    x = _torch_unit3d(x, sd, "Conv3d_1a_7x7", stride=(2, 2, 2))
+    x = _torch_maxpool_same(x, (1, 3, 3), (1, 2, 2))
+    x = _torch_unit3d(x, sd, "Conv3d_2b_1x1")
+    x = _torch_unit3d(x, sd, "Conv3d_2c_3x3")
+    x = _torch_maxpool_same(x, (1, 3, 3), (1, 2, 2))
+    for name, _ in _MIXED:
+        b0 = _torch_unit3d(x, sd, f"{name}.b0")
+        b1 = _torch_unit3d(_torch_unit3d(x, sd, f"{name}.b1a"), sd, f"{name}.b1b")
+        b2 = _torch_unit3d(_torch_unit3d(x, sd, f"{name}.b2a"), sd, f"{name}.b2b")
+        b3 = _torch_unit3d(
+            _torch_maxpool_same(x, (3, 3, 3), (1, 1, 1)), sd, f"{name}.b3b"
+        )
+        x = torch.cat([b0, b1, b2, b3], dim=1)
+        if name == "Mixed_3c":
+            x = _torch_maxpool_same(x, (3, 3, 3), (2, 2, 2))
+        elif name == "Mixed_4f":
+            x = _torch_maxpool_same(x, (2, 2, 2), (2, 2, 2))
+    x = x.mean(dim=(2, 3, 4), keepdim=True)
+    x = _torch_unit3d(x, sd, "logits", bn=False, relu=False)
+    return x.reshape(x.shape[0], -1)
+
+
+def test_i3d_matches_torch_oracle():
+    """Converted pytorch_i3d weights drive the flax InceptionI3d to the
+    torch forward's exact logits (SAME padding, BN eval stats, branch
+    concat order, time/space pooling)."""
+    import torch
+
+    from cvpr23_lfdm_tpu.eval.i3d import InceptionI3d, convert_i3d_checkpoint
+
+    rng = np.random.default_rng(0)
+    sd = _i3d_random_sd(rng)
+    video = rng.random((2, 9, 32, 32, 3)).astype(np.float32) * 2 - 1
+
+    with torch.no_grad():
+        want = _torch_i3d(
+            torch.tensor(video.transpose(0, 4, 1, 2, 3)), sd
+        ).numpy()
+
+    variables = convert_i3d_checkpoint(sd)
+    got = np.asarray(
+        jax.jit(InceptionI3d(400).apply)(variables, jnp.asarray(video))
+    )
+    # random weights compound to ~1e5 logits over 22 layers; 1e-3 relative
+    # is float32 accumulation-order noise
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1.0)
+
+
+def test_fvd_on_i3d_extractor():
+    """FVD over the I3D embedding: ~0 for identical sets, > 0 for
+    disjoint ones; runs at reduced eval resolution."""
+    from cvpr23_lfdm_tpu.eval.i3d import i3d_extractor, random_i3d_vars
+    from cvpr23_lfdm_tpu.eval.metrics import FVD
+
+    variables = random_i3d_vars(jax.random.PRNGKey(0))
+    fvd = FVD(i3d_extractor(variables, resize_to=None))
+    rng = np.random.default_rng(1)
+    real = rng.random((6, 9, 64, 64, 3)).astype(np.float32)
+    fake = rng.random((6, 9, 64, 64, 3)).astype(np.float32) ** 2  # other dist
+    same = fvd(real, real.copy())
+    diff = fvd(real, fake)
+    assert same < 1e-6
+    assert diff > max(100 * same, 1e-6)
+
+
+def _torch_lpips(a, b, feat_sd, lin_sd):
+    """Oracle: official LPIPS(net='vgg') forward in functional torch."""
+    import torch
+    import torch.nn.functional as F
+
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+    plan = [[0, 2], [5, 7], [10, 12, 14], [17, 19, 21], [24, 26, 28]]
+
+    def feats(x):
+        x = (x - shift) / scale
+        outs = []
+        for si, idxs in enumerate(plan):
+            if si > 0:
+                x = F.max_pool2d(x, 2)
+            for idx in idxs:
+                x = F.relu(
+                    F.conv2d(
+                        x, feat_sd[f"{idx}.weight"], feat_sd[f"{idx}.bias"],
+                        padding=1,
+                    )
+                )
+            outs.append(x)
+        return outs
+
+    fa, fb = feats(a), feats(b)
+    total = 0.0
+    for i, (xa, xb) in enumerate(zip(fa, fb)):
+        na = xa / torch.sqrt((xa**2).sum(1, keepdim=True) + 1e-10)
+        nb = xb / torch.sqrt((xb**2).sum(1, keepdim=True) + 1e-10)
+        d = F.conv2d((na - nb) ** 2, lin_sd[f"lin{i}.model.1.weight"])
+        total = total + d.mean(dim=(1, 2, 3))
+    return total
+
+
+def test_lpips_matches_torch_oracle():
+    """Converted vgg16+lin weights reproduce the official LPIPS forward
+    (scaling layer, slice points, channel-normalize, lin conv, means)."""
+    import torch
+
+    from cvpr23_lfdm_tpu.eval.lpips import (
+        LPIPS_CHANNELS, convert_lpips_lin, convert_vgg16_features, make_lpips,
+    )
+
+    rng = np.random.default_rng(2)
+    plan = {0: (3, 64), 2: (64, 64), 5: (64, 128), 7: (128, 128),
+            10: (128, 256), 12: (256, 256), 14: (256, 256),
+            17: (256, 512), 19: (512, 512), 21: (512, 512),
+            24: (512, 512), 26: (512, 512), 28: (512, 512)}
+    feat_sd = {}
+    for idx, (cin, cout) in plan.items():
+        feat_sd[f"{idx}.weight"] = torch.tensor(
+            rng.standard_normal((cout, cin, 3, 3)).astype("float32") * 0.05
+        )
+        feat_sd[f"{idx}.bias"] = torch.tensor(
+            0.1 * rng.standard_normal(cout).astype("float32")
+        )
+    lin_sd = {
+        f"lin{i}.model.1.weight": torch.tensor(
+            rng.random((1, c, 1, 1)).astype("float32")
+        )
+        for i, c in enumerate(LPIPS_CHANNELS)
+    }
+
+    a = rng.random((2, 32, 32, 3)).astype(np.float32)
+    b = rng.random((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = _torch_lpips(
+            torch.tensor((a * 2 - 1).transpose(0, 3, 1, 2)),
+            torch.tensor((b * 2 - 1).transpose(0, 3, 1, 2)),
+            feat_sd, lin_sd,
+        ).numpy()
+
+    fn = make_lpips(convert_vgg16_features(feat_sd), convert_lpips_lin(lin_sd))
+    got = np.asarray(fn(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    # identical inputs -> 0
+    assert float(fn(jnp.asarray(a), jnp.asarray(a)).sum()) < 1e-6

@@ -169,3 +169,67 @@ def test_sampling_under_model_parallel_mesh():
     # resharded matmuls reduce in a different order; the 10-step sampler
     # amplifies the fp32 noise to ~6e-5
     np.testing.assert_allclose(sharded, baseline, atol=5e-4)
+
+
+def test_tp_rules_cover_unet_params():
+    """The partition table assigns a model-axis spec to every large UNet
+    matrix (attention qkv/out, FiLM MLPs, conv output channels) and
+    replicates norms/heads."""
+    from cvpr23_lfdm_tpu.parallel.mesh import tp_spec
+
+    assert tp_spec("downs_0_temporal_attn/attn/to_qkv/kernel", (64, 768), 2) == P(None, "model")
+    assert tp_spec("mid_temporal_attn/attn/to_out/kernel", (256, 64), 2) == P("model", None)
+    assert tp_spec("downs_0_block1/block1/proj/conv/kernel", (3, 3, 64, 128), 2) == P(None, None, None, "model")
+    assert tp_spec("downs_0_block1/mlp/kernel", (1024, 256), 2) == P(None, "model")
+    assert tp_spec("final_conv/kernel", (1, 1, 1, 64, 2), 2) == P()
+    assert tp_spec("init_temporal_attn/norm/gamma", (64,), 2) == P()
+    # indivisible -> replicate, never crash
+    assert tp_spec("x/to_qkv/kernel", (64, 7), 2) == P()
+
+
+def test_dm_train_step_under_tp_mesh_matches_dp():
+    """One DM train step on a (model=2, data=4) mesh with tensor-sharded
+    UNet params + Adam moments equals the pure-DP step (GSPMD collectives
+    change layout, never values)."""
+    from __graft_entry__ import _tiny_config
+    from cvpr23_lfdm_tpu.models.flow_autoenc import init_lfae_vars
+    from cvpr23_lfdm_tpu.train.dm_trainer import DMTrainer
+
+    cfg = _tiny_config(num_frames=2)
+    lfae_vars = init_lfae_vars(jax.random.PRNGKey(0), cfg.lfae)
+    rng = np.random.default_rng(0)
+    size = cfg.lfae.frame_shape
+    vid = rng.random((8, 2, size, size, 3), np.float32)
+    batch = {
+        "ref_img": vid[:, 0],
+        "real_vid": vid,
+        "cond": rng.standard_normal((8, cfg.diffusion.cond_dim)).astype(np.float32),
+        "none_cond_mask": np.zeros((8,), bool),
+    }
+
+    results = {}
+    for name, mesh in (
+        ("dp", make_mesh()),
+        ("tp", make_mesh((2, 4), ("model", "data"))),
+    ):
+        trainer = DMTrainer(cfg, steps_per_epoch=4, lfae_vars=lfae_vars, mesh=mesh)
+        trainer.place_lfae()
+        state = trainer.init_state(jax.random.PRNGKey(1))
+        if name == "tp":
+            specs = {
+                str(s.sharding.spec)
+                for s in jax.tree_util.tree_leaves(state.unet_vars["params"])
+            }
+            assert any("model" in sp for sp in specs), "nothing was TP-sharded"
+        state, metrics = trainer.train_step(state, jax.random.PRNGKey(2), batch)
+        results[name] = (
+            jax.device_get(metrics["loss"]),
+            jax.device_get(state.unet_vars["params"]),
+        )
+
+    np.testing.assert_allclose(results["dp"][0], results["tp"][0], atol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(results["dp"][1]),
+        jax.tree_util.tree_leaves(results["tp"][1]),
+    ):
+        np.testing.assert_allclose(a, b, atol=2e-4)
