@@ -65,7 +65,7 @@ def main() -> None:
             # head-packed Pallas kernel with matmul-segmented softmax:
             # 3.7 vs 5.4 ms/layer (B=1) and 7.9 vs 37.5 (B=8) against the
             # XLA einsum form (scripts/bench_attention.py)
-            temporal_attn_impl="pallas2",
+            temporal_attn_impl="pallas3",
         ),
         # serving precision: bf16 conv/matmul compute, fp32 params+norms
         lfae=dataclasses.replace(cfg.lfae, compute_dtype="bfloat16"),

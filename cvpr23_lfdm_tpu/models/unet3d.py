@@ -98,19 +98,61 @@ def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndar
 
 class ChannelLayerNorm(nn.Module):
     """Channel-only LayerNorm, gamma-scaled, biased variance, eps inside
-    sqrt (video_flow_diffusion.py:170-179)."""
+    sqrt (video_flow_diffusion.py:170-179).
+
+    Mixed precision: statistics reduce in fp32 (XLA fuses the cast into
+    the reduction), but under a bf16 policy the normalize itself stays in
+    bf16 — the fp32 round-trip materialized 2x-4x the activation bytes of
+    the whole layer (profile: the B=8 scan was normalization-glue-bound)."""
 
     dim: int
     eps: float = 1e-5
 
-    @nn.compact
+    def setup(self):
+        self.gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
+
+    def scale(self) -> jnp.ndarray:
+        """Raw gamma, for fused kernels that fold the norm in."""
+        return self.gamma
+
     def __call__(self, x):
-        gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
+        gamma = self.gamma
+        if x.dtype == jnp.float32:
+            mean = jnp.mean(x, axis=-1, keepdims=True)
+            var = jnp.var(x, axis=-1, keepdims=True)
+            return (x - mean) / jnp.sqrt(var + self.eps) * gamma
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.var(xf, axis=-1, keepdims=True)
-        out = (xf - mean) / jnp.sqrt(var + self.eps) * gamma
-        return out.astype(x.dtype)
+        inv = jax.lax.rsqrt(var + self.eps).astype(x.dtype)
+        return (x - mean.astype(x.dtype)) * inv * gamma.astype(x.dtype)
+
+
+class _DenseKernel(nn.Module):
+    """Raw Dense kernel parameter (no bias), layout-identical to
+    `nn.Dense(features, use_bias=False)` — fused kernels consume the weight
+    directly instead of calling the layer."""
+
+    features: int
+    in_features: int
+    use_bias: bool = False
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        if self.use_bias:
+            self.bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            )
+
+    def get(self) -> jnp.ndarray:
+        return self.kernel
+
+    def get_bias(self) -> jnp.ndarray:
+        return self.bias
 
 
 class TemporalAttention(nn.Module):
@@ -130,9 +172,23 @@ class TemporalAttention(nn.Module):
     impl: str = "xla"  # "xla" | "pallas" (packed-tile TPU kernel)
 
     @nn.compact
-    def __call__(self, x, pos_bias=None, focus_present_mask=None):
+    def __call__(self, x, pos_bias=None, focus_present_mask=None,
+                 prenorm_gamma=None):
         b, f, h, w, c = x.shape
         hidden = self.heads * self.dim_head
+
+        if self.impl.startswith("pallas3"):
+            # fused whole-layer path: PreNormResidual passes its norm gamma
+            # in and this returns x + to_out(attn(to_qkv(LN(x)))) from ONE
+            # Pallas kernel (attention_pallas.fused_temporal_layer)
+            assert prenorm_gamma is not None, (
+                "pallas3 fuses the prenorm layer; use it via PreNormResidual"
+            )
+            return self._fused_layer(
+                x, prenorm_gamma, pos_bias, focus_present_mask,
+                interpret=self.impl == "pallas3_interpret",
+            )
+
         qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
 
         if self.impl.startswith("pallas2"):
@@ -195,6 +251,42 @@ class TemporalAttention(nn.Module):
         out = jnp.einsum("bxhij,bjxhd->bixhd", attn, v)
         out = out.reshape(b, f, h, w, hidden)
         return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)
+
+    def _fused_layer(self, x, gamma, pos_bias, focus_present_mask, interpret):
+        """pallas3: the whole prenorm layer (LN + qkv + rotary + attention
+        + out-proj + residual) in one kernel. Parameter tree matches the
+        Dense modules of the unfused paths (to_qkv/kernel, to_out/kernel)."""
+        from cvpr23_lfdm_tpu.ops.attention_pallas import (
+            build_bias_flat, fused_temporal_layer, rotary_tables,
+        )
+
+        b, f, h, w, c = x.shape
+        hidden = self.heads * self.dim_head
+        wqkv = _DenseKernel(3 * hidden, c, name="to_qkv").get()
+        wout = _DenseKernel(c, hidden, name="to_out").get()
+        if pos_bias is None:
+            pos_bias = jnp.zeros((self.heads, f, f), jnp.float32)
+        bias_flat = build_bias_flat(pos_bias, b, f, focus_present_mask)
+        scale = self.dim_head**-0.5
+        cdt = self.dtype
+        if self.use_rotary:
+            cos_t, sin_t = rotary_tables(f, self.heads, self.dim_head, scale, cdt)
+        else:
+            cos_t = jnp.broadcast_to(
+                jnp.concatenate(
+                    [jnp.full((hidden,), scale), jnp.ones((2 * hidden,))]
+                ).astype(cdt)[None],
+                (f, 3 * hidden),
+            )
+            sin_t = jnp.zeros((f, 3 * hidden), cdt)
+        out = fused_temporal_layer(
+            x.reshape(b, f, h * w, c).astype(cdt),
+            gamma.astype(jnp.float32),
+            wqkv.astype(cdt), wout.astype(cdt),
+            bias_flat, cos_t.astype(cdt), sin_t.astype(cdt),
+            self.heads, self.dim_head, interpret=interpret,
+        )
+        return out.reshape(b, f, h, w, c).astype(x.dtype)
 
     def _headpacked_attention(self, qkv, pos_bias, focus_present_mask, interpret):
         """Head-packed kernel path: qkv [B,F,HW,3hd] natural layout ->
@@ -302,12 +394,35 @@ class SpatialLinearAttention(nn.Module):
     heads: int = 8
     dim_head: int = 32
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"  # "xla" | "pallas3" (fused whole-layer kernel)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, prenorm_gamma=None):
         b, f, h, w, c = x.shape
         hd = self.dim_head
         hidden = self.heads * hd
+
+        if self.impl.startswith("pallas3"):
+            from cvpr23_lfdm_tpu.ops.attention_pallas import (
+                fused_spatial_linear_layer,
+            )
+
+            assert prenorm_gamma is not None, (
+                "pallas3 fuses the prenorm layer; use it via PreNormResidual"
+            )
+            wqkv = _DenseKernel(3 * hidden, c, name="to_qkv").get()
+            to_out = _DenseKernel(c, hidden, use_bias=True, name="to_out")
+            cdt = self.dtype
+            out = fused_spatial_linear_layer(
+                x.reshape(b, f, h * w, c).astype(cdt),
+                prenorm_gamma.astype(jnp.float32),
+                wqkv.astype(cdt), to_out.get().astype(cdt),
+                to_out.get_bias(),
+                self.heads, hd,
+                interpret=self.impl == "pallas3_interpret",
+            )
+            return out.reshape(b, f, h, w, c).astype(x.dtype)
+
         qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
         # Head-packed dense-lane form: every tensor keeps the full
         # heads*d=hidden lane axis — the per-head [.., heads, 32]-minor
@@ -326,17 +441,37 @@ class SpatialLinearAttention(nn.Module):
         lane = np.arange(hidden)
         block = jnp.asarray(lane[:, None] // hd == lane[None, :] // hd)
 
-        # q: softmax over each head's d-lanes. A per-row global-max shift
-        # is uniform across lanes, so each head's segment is unchanged.
+        # q: softmax over each head's d-lanes. The max is PER HEAD via a
+        # lane-windowed reduce (window=stride=d keeps the minor axis minor
+        # — no [.., heads, d] split relayout), so a head sitting far below
+        # the global row max cannot underflow its whole segment.
         qf = q.astype(jnp.float32)
-        eq = jnp.exp(qf - jax.lax.stop_gradient(jnp.max(qf, -1, keepdims=True)))
-        den = eq @ block.astype(jnp.float32)  # same-head sum, per lane
-        # clamp: a head sitting >~88 below the global row max underflows
-        # its whole segment (degrade to 0, not NaN)
-        den = jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+        mh = jax.lax.reduce_window(
+            jax.lax.stop_gradient(qf), -jnp.inf, jax.lax.max,
+            (1,) * (qf.ndim - 1) + (hd,), (1,) * (qf.ndim - 1) + (hd,),
+            "VALID",
+        )  # [..., heads]
+        # expand back to lanes by one-hot matmul (a lane-repeat would
+        # force a split-minor relayout)
+        expand = jnp.asarray(
+            (np.arange(self.heads)[:, None] == lane[None, :] // hd),
+            jnp.float32,
+        )
+        mh = jnp.einsum("...h,hd->...d", mh, expand)
+        cdt = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+        eq = jnp.exp((qf - mh).astype(cdt))
+        den = jnp.einsum(
+            "...d,de->...e", eq, block.astype(cdt),
+            preferred_element_type=jnp.float32,
+        )  # same-head sum, per lane
+        den = jnp.maximum(den, jnp.finfo(jnp.float32).tiny).astype(cdt)
         q = (eq / den).astype(x.dtype) * (hd**-0.5)
-        # k: softmax over n (already lane-dense)
-        k = nn.softmax(k.astype(jnp.float32), axis=-2).astype(x.dtype)
+        # k: softmax over n — fp32 max/sum reductions, exp in compute dtype
+        kf = k.astype(jnp.float32)
+        km = jnp.max(jax.lax.stop_gradient(kf), axis=-2, keepdims=True)
+        ek = jnp.exp((kf - km).astype(cdt))
+        ksum = jnp.sum(ek.astype(jnp.float32), axis=-2, keepdims=True)
+        k = (ek / ksum.astype(cdt)).astype(x.dtype)
 
         context = jnp.einsum(
             "bfnd,bfne->bfde", k, v, preferred_element_type=jnp.float32
@@ -364,11 +499,15 @@ class PreNormResidual(nn.Module):
 
     @nn.compact
     def __call__(self, x, **kwargs):
-        y = ChannelLayerNorm(self.dim, name="norm")(x)
-        y = self.attn_cls(
+        norm = ChannelLayerNorm(self.dim, name="norm")
+        attn = self.attn_cls(
             self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn"
-        )(y, **kwargs)
-        return x + y
+        )
+        if getattr(attn, "impl", "").startswith("pallas3"):
+            # fused whole-layer kernel: norm + attention + residual in one
+            # pass; the norm module only contributes its gamma parameter
+            return attn(x, prenorm_gamma=norm.scale(), **kwargs)
+        return x + attn(norm(x), **kwargs)
 
 
 def conv_2plus1d(features: int, k: int, name: str | None = None,
@@ -403,10 +542,12 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, scale_shift=None):
         x = conv_2plus1d(self.dim_out, 3, name="proj", dtype=self.dtype)(x)
-        # GroupNorm statistics in fp32 (mixed-precision policy)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(
-            x.astype(jnp.float32)
-        ).astype(self.dtype)
+        # GroupNorm statistics in fp32 (flax computes stats in fp32
+        # internally); under a bf16 policy the normalize stays in bf16 —
+        # the explicit fp32 round-trip was pure extra HBM traffic
+        x = nn.GroupNorm(
+            num_groups=self.groups, epsilon=1e-5, dtype=self.dtype, name="norm"
+        )(x)
         if scale_shift is not None:
             scale, shift = scale_shift
             x = x * (scale + 1.0).astype(self.dtype) + shift.astype(self.dtype)
@@ -544,6 +685,13 @@ class Unet3D(nn.Module):
         temporal_cls = _ft.partial(
             TemporalAttention, impl=self.temporal_attn_impl
         )
+        # the fused-layer serving impl extends to the spatial linear
+        # attention layers (same whole-layer fusion win)
+        sla_cls = (
+            _ft.partial(SpatialLinearAttention, impl=self.temporal_attn_impl)
+            if self.temporal_attn_impl.startswith("pallas3")
+            else SpatialLinearAttention
+        )
         x = x.astype(self.dtype)
 
         pos_bias = RelativePositionBias(
@@ -596,7 +744,7 @@ class Unet3D(nn.Module):
                 # reference quirk: linear attn dim_head is always the
                 # default 32 (video_flow_diffusion.py:464)
                 x = PreNormResidual(
-                    dim_out, SpatialLinearAttention, heads, 32, self.dtype,
+                    dim_out, sla_cls, heads, 32, self.dtype,
                     name=f"downs_{ind}_spatial_attn",
                 )(x)
             x = PreNormResidual(
@@ -628,7 +776,7 @@ class Unet3D(nn.Module):
             x = ResnetBlock(dim_in, self.resnet_groups, self.dtype, name=f"ups_{ind}_block2")(x, t)
             if self.use_sparse_linear_attn:
                 x = PreNormResidual(
-                    dim_in, SpatialLinearAttention, heads, 32, self.dtype,
+                    dim_in, sla_cls, heads, 32, self.dtype,
                     name=f"ups_{ind}_spatial_attn",
                 )(x)
             x = PreNormResidual(

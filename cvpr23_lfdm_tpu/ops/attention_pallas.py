@@ -443,6 +443,337 @@ def headpacked_temporal_attention(
     )
 
 
+def _fused_layer_kernel(
+    x_ref, gamma_ref, wqkv_ref, wout_ref, bias_ref, cos_ref, sin_ref,
+    o_ref, att_ref, *, heads, dim_head, p, pm, f, c, eps,
+):
+    """Whole PreNorm-residual temporal attention layer in one kernel.
+
+    x block [1, F, P, C] -> LayerNorm(C) -> qkv = xn @ Wqkv -> rotary ->
+    head-packed attention (pm pixels per matmul, frame-major M rows) ->
+    out = o @ Wout -> x + out. The XLA pipeline materializes the
+    [B, F, HW, 3hd] qkv tensor in HBM twice (write + kernel read,
+    ~1 GB/layer at B=8 HW=1024) plus LN/residual round-trips; here every
+    intermediate lives in VMEM (att_ref scratch holds the attention
+    output so the out-projection runs as ONE [F*P, hd] matmul).
+    """
+    hd = heads * dim_head
+    hf = heads * f
+    dtype = x_ref.dtype
+    x = x_ref[0]  # [F, P, C]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = (xn * gamma_ref[:].astype(jnp.float32)).astype(dtype)
+
+    wqkv = wqkv_ref[:].astype(dtype)  # [C, 3hd]
+    qkv = jax.lax.dot_general(
+        xn.reshape(f * p, c), wqkv,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(f, p, 3 * hd)
+    cos = cos_ref[:].astype(jnp.float32)  # [F, 3hd]
+    sin = sin_ref[:].astype(jnp.float32)
+    blk = _apply_rotary_fp32(qkv, cos, sin, hd).astype(dtype)  # [F, P, 3hd]
+
+    bias = bias_ref[0]  # [F, hf] fp32
+    # k/v row (g, j) keeps only head g's d-columns (see _headpacked_kernel)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (pm * hf, hd), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (pm * hf, hd), 1)
+    mask = (rows % hf // f) == (cols // dim_head)
+    maskf = mask.astype(dtype)
+
+    if pm == 1:
+        bias_pm = bias
+    else:
+        # queries frame-major [F*pm]; keys/values pixel-major [pm*hf]:
+        # bias_pm[i*pm + px, px'*hf + g*F + j] = bias[i, g*F+j] iff px==px'
+        r = jax.lax.broadcasted_iota(jnp.int32, (f * pm, pm * hf), 0)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (f * pm, pm * hf), 1)
+        same_px = (r % pm) == (cidx // hf)
+        btile = jnp.concatenate([bias] * pm, axis=1)  # [F, pm*hf]
+        btile = btile.reshape(f, 1, pm * hf)
+        btile = jnp.concatenate([btile] * pm, axis=1).reshape(f * pm, pm * hf)
+        bias_pm = jnp.where(same_px, btile, NEG_INF)
+
+    for p0 in range(0, p, pm):
+        if pm == 1:
+            xq = blk[:, p0, :]  # [F, 3hd]
+            q = xq[:, :hd]
+            kv = jnp.concatenate([xq[:, hd:]] * heads, axis=0)  # [hf, 2hd]
+        else:
+            xq = blk[:, p0 : p0 + pm, :]  # [F, pm, 3hd]
+            q = xq[..., :hd].reshape(f * pm, hd)  # frame-major rows
+            kv = jnp.concatenate(
+                [
+                    jnp.concatenate([xq[:, i, hd:]] * heads, axis=0)
+                    for i in range(pm)
+                ],
+                axis=0,
+            )  # [pm*hf, 2hd] pixel-major rows
+        k8 = jnp.where(mask, kv[:, :hd], 0)
+        v8 = jnp.where(mask, kv[:, hd:], 0)
+        s = jax.lax.dot_general(
+            q, k8, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [F*pm, pm*hf]
+        s = s + bias_pm
+        m = jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+        e = jnp.exp(s - m).astype(dtype)
+        num = jnp.dot(e, v8, preferred_element_type=jnp.float32)
+        den = jnp.dot(e, maskf, preferred_element_type=jnp.float32)
+        den = jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+        o = (num / den).astype(dtype)  # [F*pm, hd]
+        if pm == 1:
+            att_ref[:, p0, :] = o
+        else:
+            att_ref[:, p0 : p0 + pm, :] = o.reshape(f, pm, hd)
+
+    wout = wout_ref[:].astype(dtype)  # [hd, C]
+    proj = jax.lax.dot_general(
+        att_ref[:].reshape(f * p, hd), wout,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(f, p, c)
+    o_ref[0] = x + proj.astype(dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "dim_head", "pack", "pixels_per_matmul",
+                     "eps", "interpret"),
+)
+def fused_temporal_layer(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    wout: jnp.ndarray,
+    bias_flat: jnp.ndarray,
+    cos_t: jnp.ndarray,
+    sin_t: jnp.ndarray,
+    heads: int,
+    dim_head: int,
+    pack: int = 32,
+    pixels_per_matmul: int = 1,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """`x + to_out(attn(rotary(to_qkv(LN(x)))))` as one Pallas pass.
+
+    Serving fast path for the whole PreNormResidual temporal-attention
+    layer (video_flow_diffusion.py:132-138 + 286-363). Forward-only: the
+    training step keeps the `pallas2` headpacked custom-VJP path.
+
+    Args:
+      x: `[B, F, HW, C]` layer input (residual source).
+      gamma: `[C]` ChannelLayerNorm scale.
+      wqkv: `[C, 3*heads*d]` to_qkv kernel; wout: `[heads*d, C]` to_out.
+      bias_flat: `[B, F, heads*F]` (:func:`build_bias_flat`).
+      cos_t/sin_t: `[F, 3*heads*d]` rotary tables (:func:`rotary_tables`).
+      pixels_per_matmul: pm pixels batched into each attention matmul
+        (M = pm*F query rows, N = pm*heads*F lanes); must divide `pack`.
+
+    Returns `[B, F, HW, C]`.
+    """
+    b, f, hw, c = x.shape
+    hd = heads * dim_head
+    p = min(pack, hw)
+    assert hw % p == 0, (hw, p)
+    pm = pixels_per_matmul
+    while p % pm:
+        pm //= 2
+    kernel = functools.partial(
+        _fused_layer_kernel, heads=heads, dim_head=dim_head, p=p, pm=pm,
+        f=f, c=c, eps=eps,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, hw // p),
+        in_specs=[
+            pl.BlockSpec(
+                (1, f, p, c), lambda i, j: (i, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((c,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (c, 3 * hd), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (hd, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, f, heads * f), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (f, 3 * hd), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (f, 3 * hd), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, f, p, c), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, f, hw, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((f, p, hd), x.dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * f * hw * c * (3 + 1) * hd
+            + b * hw * heads * (2 * f * f * dim_head * 2) * pm,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=b * hw * heads * f * f * pm,
+        ),
+        interpret=interpret,
+    )(x, gamma, wqkv, wout, bias_flat, cos_t, sin_t)
+
+
+def _fused_linear_kernel(
+    x_ref, gamma_ref, wqkv_ref, wout_ref, bout_ref, o_ref,
+    *, heads, dim_head, fp, n, c, eps,
+):
+    """Whole PreNorm-residual spatial linear-attention layer in one kernel.
+
+    x block [1, FP, N, C] (FP frames of N=H*W pixels). Per frame:
+    q-softmax over each head's d lanes (per-head max via static lane
+    slices; denominator via block-mask matmul), k-softmax over pixels,
+    context = k^T v and out = q @ context as same-head-masked full-rank
+    matmuls (cross-head blocks are discarded MXU work, far cheaper than
+    per-head [.., 32]-minor relayouts). Ends with the biased out
+    projection + residual. Reference math: video_flow_diffusion.py:240-265.
+    """
+    d = dim_head
+    hd = heads * d
+    dtype = x_ref.dtype
+    lane = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1)
+    block = ((lane // d) == (lane2 // d))
+    blockf = block.astype(dtype)
+
+    x = x_ref[0]  # [FP, N, C]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = (xn * gamma_ref[:].astype(jnp.float32)).astype(dtype)
+
+    wqkv = wqkv_ref[:].astype(dtype)
+    qkv = jax.lax.dot_general(
+        xn.reshape(fp * n, c), wqkv,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(fp, n, 3 * hd)  # fp32
+
+    wout = wout_ref[:].astype(dtype)
+    bout = bout_ref[:].astype(jnp.float32)
+
+    for ff in range(fp):
+        q = qkv[ff, :, :hd]      # [N, hd] fp32
+        k = qkv[ff, :, hd : 2 * hd]
+        v = qkv[ff, :, 2 * hd :].astype(dtype)
+        # q: per-head softmax over d lanes (static slices for the max)
+        mh = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    jnp.max(q[:, g * d : (g + 1) * d], axis=-1, keepdims=True),
+                    (n, d),
+                )
+                for g in range(heads)
+            ],
+            axis=1,
+        )
+        eq = jnp.exp(q - mh).astype(dtype)
+        den = jnp.dot(eq, blockf, preferred_element_type=jnp.float32)
+        den = jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+        qn = (eq.astype(jnp.float32) / den).astype(dtype) * (d**-0.5)
+        # k: softmax over pixels
+        km = jnp.max(k, axis=0, keepdims=True)
+        ek = jnp.exp(k - km)
+        ksum = jnp.sum(ek, axis=0, keepdims=True)
+        kn = (ek / ksum).astype(dtype)
+        context = jax.lax.dot_general(
+            kn, v, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [hd, hd]
+        context = jnp.where(block, context, 0.0).astype(dtype)
+        out = jnp.dot(qn, context, preferred_element_type=jnp.float32)
+        proj = jax.lax.dot_general(
+            out.astype(dtype), wout,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bout
+        o_ref[0, ff] = x[ff] + proj.astype(dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "dim_head", "eps", "interpret")
+)
+def fused_spatial_linear_layer(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    wout: jnp.ndarray,
+    bout: jnp.ndarray,
+    heads: int,
+    dim_head: int,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """`x + to_out(linear_attn(to_qkv(LN(x))))` as one Pallas pass.
+
+    Serving fast path for the PreNormResidual spatial linear-attention
+    layer. Frames are packed per grid step so deep-level blocks stay
+    MXU-sized.
+
+    Args:
+      x: `[B, F, HW, C]`; gamma: `[C]`; wqkv: `[C, 3*heads*d]`;
+      wout: `[heads*d, C]`; bout: `[C]` (to_out bias).
+
+    Returns `[B, F, HW, C]`.
+    """
+    b, f, hw, c = x.shape
+    hd = heads * dim_head
+    # pack frames so each block carries >=2048 rows (amortizes dispatch)
+    fp = 1
+    while fp < f and (fp * 2) * hw <= 4096 and f % (fp * 2) == 0:
+        fp *= 2
+    kernel = functools.partial(
+        _fused_linear_kernel, heads=heads, dim_head=dim_head, fp=fp, n=hw,
+        c=c, eps=eps,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, f // fp),
+        in_specs=[
+            pl.BlockSpec(
+                (1, fp, hw, c), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((c,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (c, 3 * hd), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (hd, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((c,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, fp, hw, c), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, f, hw, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * f * hw * c * 4 * hd + 4 * b * f * hw * hd * hd,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=2 * b * f * hw * hd,
+        ),
+        interpret=interpret,
+    )(x, gamma, wqkv, wout, bout)
+
+
 def build_bias_flat(
     pos_bias: jnp.ndarray,
     batch: int,

@@ -44,7 +44,7 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "Grain worker PROCESSES (true parallelism, shared-memory transfer)",
     )
     p.add_argument(
-        "--attn-impl", default="auto", choices=["auto", "xla", "pallas2", "pallas"],
+        "--attn-impl", default="auto", choices=["auto", "xla", "pallas3", "pallas2", "pallas"],
         help="temporal-attention implementation; auto = head-packed Pallas "
         "kernel on TPU (fwd+bwd, ~4x the XLA form), XLA einsums elsewhere",
     )
@@ -61,14 +61,20 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
-def resolve_attn_impl(args) -> str:
-    """'auto' -> the Pallas kernel on TPU backends, XLA elsewhere
-    (Mosaic kernels only lower for TPU; gpu/cpu get the einsum form)."""
+def resolve_attn_impl(args, training: bool = False) -> str:
+    """'auto' -> the fastest Pallas kernel on TPU backends, XLA elsewhere
+    (Mosaic kernels only lower for TPU; gpu/cpu get the einsum form).
+
+    Serving gets the fused whole-layer kernel (`pallas3`, forward-only);
+    training needs the differentiable head-packed kernel (`pallas2`,
+    custom-VJP backward)."""
     if args.attn_impl != "auto":
         return args.attn_impl
     import jax
 
-    return "pallas2" if jax.default_backend() == "tpu" else "xla"
+    if jax.default_backend() != "tpu":
+        return "xla"
+    return "pallas2" if training else "pallas3"
 
 
 def setup_platform(args) -> None:

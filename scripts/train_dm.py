@@ -49,7 +49,7 @@ def main() -> None:
     cfg = PRESETS[args.dataset]()
     cfg = cfg.replace(
         diffusion=dataclasses.replace(
-            cfg.diffusion, temporal_attn_impl=resolve_attn_impl(args)
+            cfg.diffusion, temporal_attn_impl=resolve_attn_impl(args, training=True)
         )
     )
     tc = cfg.dm_train

@@ -120,3 +120,75 @@ def test_headpacked_attention_grads_match_xla(rotary):
     )
     for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+@pytest.mark.parametrize("hw,f,focus", [(16, 5, False), (64, 7, False), (32, 5, True)])
+def test_fused_temporal_layer_matches_xla(hw, f, focus):
+    """pallas3 whole-layer kernel (LN + qkv + rotary + attn + out + residual)
+    == the unfused xla PreNormResidual, identical param tree."""
+    import functools
+    import flax.linen as nn
+
+    from cvpr23_lfdm_tpu.models.unet3d import PreNormResidual
+
+    heads, dh, dim = 2, 8, 16
+    h, w = 4, hw // 4
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, f, h, w, dim)), jnp.float32)
+    pos_bias = jnp.asarray(rng.standard_normal((heads, f, f)), jnp.float32)
+
+    class Wrap(nn.Module):
+        impl: str
+
+        @nn.compact
+        def __call__(self, x, focus_mask=None):
+            return PreNormResidual(
+                dim, functools.partial(TemporalAttention, impl=self.impl),
+                heads, dh, name="layer",
+            )(x, pos_bias=pos_bias, focus_present_mask=focus_mask)
+
+    m_x, m_p = Wrap("xla"), Wrap("pallas3_interpret")
+    variables = jax.jit(lambda r: m_x.init(r, x))(jax.random.PRNGKey(0))
+    v2 = m_p.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(variables) == (
+        jax.tree_util.tree_structure(v2)
+    )
+    mask = jnp.asarray([True, False]) if focus else None
+    ref = m_x.apply(variables, x, mask)
+    out = m_p.apply(variables, x, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_fused_spatial_linear_layer_matches_xla():
+    """pallas3 fused linear-attention layer == unfused xla PreNormResidual."""
+    import functools
+    import flax.linen as nn
+
+    from cvpr23_lfdm_tpu.models.unet3d import (
+        PreNormResidual, SpatialLinearAttention,
+    )
+
+    heads, dh, dim, f = 2, 8, 16, 8
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, f, 4, 8, dim)), jnp.float32)
+
+    class Wrap(nn.Module):
+        impl: str
+
+        @nn.compact
+        def __call__(self, x):
+            return PreNormResidual(
+                dim,
+                functools.partial(SpatialLinearAttention, impl=self.impl),
+                heads, dh, name="layer",
+            )(x)
+
+    m_x, m_p = Wrap("xla"), Wrap("pallas3_interpret")
+    variables = jax.jit(lambda r: m_x.init(r, x))(jax.random.PRNGKey(0))
+    v2 = m_p.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(variables) == (
+        jax.tree_util.tree_structure(v2)
+    )
+    ref = m_x.apply(variables, x)
+    out = m_p.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
