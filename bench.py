@@ -68,7 +68,9 @@ def main() -> None:
             temporal_attn_impl="pallas3",
         ),
         # serving precision: bf16 conv/matmul compute, fp32 params+norms
-        lfae=dataclasses.replace(cfg.lfae, compute_dtype="bfloat16"),
+        lfae=dataclasses.replace(
+            cfg.lfae, compute_dtype="bfloat16", warp_impl="tiled"
+        ),
     )
     model = FlowDiffusion(cfg.lfae, cfg.diffusion)
 

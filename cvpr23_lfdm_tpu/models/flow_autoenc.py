@@ -48,6 +48,7 @@ def build_lfae_modules(cfg: LFAEConfig, axis_name: str | None = None):
     pf["dtype"] = dtype
     generator = Generator(
         dtype=dtype,
+        warp_impl=cfg.warp_impl,
         num_channels=cfg.num_channels,
         num_regions=cfg.num_regions,
         block_expansion=cfg.generator.block_expansion,

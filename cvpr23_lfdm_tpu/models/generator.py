@@ -41,6 +41,10 @@ class Generator(nn.Module):
     pixelwise_flow_predictor_params: dict | None = None
     axis_name: str | None = None
     dtype: jnp.dtype | None = None  # conv compute dtype (bf16 for serving)
+    # "xla" | "tiled": decode warp kernel (see LFAEConfig.warp_impl);
+    # eval-mode decodes only — training always uses the XLA warp (the
+    # tiled Pallas kernel has no VJP)
+    warp_impl: str = "xla"
 
     def setup(self):
         if self.pixelwise_flow_predictor_params is not None:
@@ -158,6 +162,11 @@ class Generator(nn.Module):
             """Gather from per-video source `[B, H, W, C]` with per-frame
             grids `[B*f, H, W, 2]` — no repeat of the source."""
             hh, ww, cc = src_b.shape[1:]
+            if self.warp_impl == "tiled" and not train:
+                from cvpr23_lfdm_tpu.ops.warp_pallas import warp_video
+
+                out = warp_video(src_b, fl.reshape(b, f, hh, ww, 2))
+                return out.reshape(b * f, hh, ww, cc)
             grid = fl.reshape(b, f * hh, ww, 2)
             out = grid_sample(src_b, grid)
             return out.reshape(b * f, hh, ww, cc)

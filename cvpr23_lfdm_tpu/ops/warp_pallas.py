@@ -151,6 +151,238 @@ def warp_fits(h: int, w: int) -> bool:
     return h * w <= MAX_HW
 
 
+# ------------------------------------------------------- tiled one-hot warp
+#
+# The serving decoder's full-res warps (128^2 x 67ch at generator.py:59-88
+# scale) are XLA's gather floor: ~4 fetched rows per output pixel at
+# ~0.35 rows/cycle = 64 ms for the B=8 video batch. The windowed one-hot
+# form below replaces the gather with MXU matmuls: output is tiled 16x16;
+# each tile's bilinear corners live (for any physically smooth flow) in a
+# small source window whose origin is the per-tile minimum corner index,
+# so the sample is `A[T, S] @ window[S, C]` with the separable bilinear
+# one-hot matrix A built on the VPU. Out-of-image corners get zero weight
+# (torch padding_mode='zeros' exactly); a cheap XLA fit-check falls back
+# to the patch-gather when a tile's corner spread exceeds the window
+# (`warp_video` wraps both in `lax.cond`).
+
+_TILE = 16      # output tile edge (T = 256 pixels per tile)
+_WIN_H = 24     # window rows (y origin unrestricted: dim-0 slice)
+_WIN_W = 32     # window cols (x origin 8-aligned: clean sublane slice)
+
+
+def _tiled_kernel(origin_ref, cpack_ref, src_ref, out_ref, *, h, w, c,
+                  wh, ww, tile):
+    t = tile * tile
+    j = pl.program_id(1)
+    oy = origin_ref[0, j, 0]
+    # stored as ox//8: the *8 lets Mosaic prove the sublane-dim slice
+    # start is 8-aligned (it cannot infer that from a plain SMEM value)
+    ox = origin_ref[0, j, 1] * 8
+    win = src_ref[0, pl.ds(oy, wh), pl.ds(ox, ww), :]     # [wh, ww, C]
+    win2 = win.reshape(wh * ww, c)
+
+    cp = cpack_ref[0, 0]                                   # [2, T] f32
+    # window-local REAL coords; the bilinear one-hot row for window cell q
+    # is the tent function relu(1 - |q - e|): exactly (1-frac) at floor(e)
+    # and frac at floor(e)+1. Because the window is clamped inside the
+    # image, out-of-image corners are out-of-window and get weight zero —
+    # torch padding_mode='zeros' for free, with no integer compares.
+    ex = cp[0:1, :] - ox.astype(jnp.float32)
+    ey = cp[1:2, :] - oy.astype(jnp.float32)
+    s = wh * ww
+    q = jax.lax.broadcasted_iota(jnp.int32, (s, t), 0)
+    qy = (q // ww).astype(jnp.float32)
+    qx = (q - (q // ww) * ww).astype(jnp.float32)
+    ax = jnp.maximum(0.0, 1.0 - jnp.abs(qx - ex))
+    ay = jnp.maximum(0.0, 1.0 - jnp.abs(qy - ey))
+    a = (ay * ax).astype(win2.dtype)                       # [S, T]
+
+    out = jax.lax.dot_general(
+        a, win2, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                      # [T, C]
+    out_ref[0] = out.reshape(tile, tile, c).astype(out_ref.dtype)
+
+
+def _tile_minmax(v, tile):
+    """Per-tile min & max over `[N, H, W]` -> two `[N, H//tile, W//tile]`."""
+    n, h, w = v.shape
+    r = v.reshape(n, h // tile, tile, w // tile, tile)
+    return r.min(axis=(2, 4)), r.max(axis=(2, 4))
+
+
+def _coords_f32(grid, h, w):
+    """torch align_corners=False unnormalized sample coords (f32)."""
+    g = grid.astype(jnp.float32)
+    ix = ((g[..., 0] + 1.0) * w - 1.0) * 0.5
+    iy = ((g[..., 1] + 1.0) * h - 1.0) * 0.5
+    return ix, iy
+
+
+def _corner_cover(c0, size):
+    """Coverage bounds of the VALID corners {c0, c0+1} per pixel: corners
+    outside the image need no window coverage (their weight is zero)."""
+    big = jnp.int32(size * 4)
+    lo = jnp.minimum(
+        jnp.where((c0 >= 0) & (c0 <= size - 1), c0, big),
+        jnp.where((c0 + 1 >= 0) & (c0 + 1 <= size - 1), c0 + 1, big),
+    )
+    hi = jnp.maximum(
+        jnp.where((c0 >= 0) & (c0 <= size - 1), c0, -1),
+        jnp.where((c0 + 1 >= 0) & (c0 + 1 <= size - 1), c0 + 1, -1),
+    )
+    return lo, hi
+
+
+def tiled_supported(h: int, w: int) -> bool:
+    return h % _TILE == 0 and w % _TILE == 0 and h >= 2 and w >= 2
+
+
+def _tiled_geometry(image, grid5):
+    """Shared preamble: packed per-tile coords, window origins, fit flag."""
+    b, f, h, w, _ = grid5.shape
+    tile = _TILE
+    full = h <= 32  # window == whole frame: always fits, origins zero
+    wh = h if full else _WIN_H
+    ww = w if full else _WIN_W
+    nty, ntx = h // tile, w // tile
+    ntiles = nty * ntx
+    n = b * f
+
+    ix, iy = _coords_f32(grid5.reshape(n, h, w, 2), h, w)
+    x0 = jnp.floor(ix).astype(jnp.int32)
+    y0 = jnp.floor(iy).astype(jnp.int32)
+
+    # [N, ntiles, 2, T] packed tile-local coords (rows: ix, iy)
+    def pack(v):
+        r = v.reshape(n, nty, tile, ntx, tile)
+        return r.transpose(0, 1, 3, 2, 4).reshape(n, ntiles, tile * tile)
+
+    cpack = jnp.stack([pack(ix), pack(iy)], axis=2)
+
+    if full:
+        origins = jnp.zeros((n, ntiles, 2), jnp.int32)
+        fit = jnp.bool_(True)
+        return cpack, origins, fit, (wh, ww, nty, ntx)
+
+    xlo, xhi = _corner_cover(x0, w)
+    ylo, yhi = _corner_cover(y0, h)
+    xlo_t = _tile_minmax(xlo.reshape(n, h, w), tile)[0]
+    xhi_t = _tile_minmax(xhi.reshape(n, h, w), tile)[1]
+    ylo_t = _tile_minmax(ylo.reshape(n, h, w), tile)[0]
+    yhi_t = _tile_minmax(yhi.reshape(n, h, w), tile)[1]
+    # x origin 8-aligned (clean sublane slice); y origin unrestricted.
+    # ox stored divided by 8 so the kernel can multiply it back and give
+    # Mosaic a provably-aligned slice start.
+    ox8 = jnp.clip(xlo_t // 8, 0, (w - ww) // 8)
+    oy = jnp.clip(ylo_t, 0, h - wh)
+    fit = jnp.all((xhi_t - ox8 * 8 <= ww - 1) & (yhi_t - oy <= wh - 1))
+    origins = jnp.stack(
+        [oy.reshape(n, ntiles), ox8.reshape(n, ntiles)], axis=-1
+    )
+    return cpack, origins, fit, (wh, ww, nty, ntx)
+
+
+def _auto_interpret(interpret: bool | None) -> bool:
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def warp_video_tiled(
+    image: jnp.ndarray,
+    grid5: jnp.ndarray,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Tiled one-hot MXU warp of a shared source over per-frame grids.
+
+    Args:
+      image: `[B, H, W, C]` source (one per video).
+      grid5: `[B, F, H, W, 2]` sample grids, (x, y) in [-1, 1]
+        (torch align_corners=False / padding_mode='zeros' semantics).
+
+    Returns `[B, F, H, W, C]`. Tiles whose corner spread exceeds the
+    static window produce zeros for the uncovered corners — call through
+    :func:`warp_video` for the fit-checked fallback.
+    """
+    b, f, h, w, _ = grid5.shape
+    c = image.shape[-1]
+    assert tiled_supported(h, w), (h, w)
+    assert image.shape == (b, h, w, c)
+    interpret = _auto_interpret(interpret)
+    tile = _TILE
+    cpack, origins, _, (wh, ww, nty, ntx) = _tiled_geometry(image, grid5)
+    n = b * f
+
+    kernel = functools.partial(
+        _tiled_kernel, h=h, w=w, c=c, wh=wh, ww=ww, tile=tile
+    )
+    t = tile * tile
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, nty * ntx),
+        in_specs=[
+            # whole per-video origin table in SMEM (tile picked by
+            # program_id(1); SMEM blocks need full trailing dims)
+            pl.BlockSpec((1, nty * ntx, 2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 2, t), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # whole source frame resident; same block for F consecutive
+            # steps (and all tiles) -> re-DMA'd once per video
+            pl.BlockSpec((1, h, w, c), lambda i, j: (i // f, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, tile, c),
+            lambda i, j: (i, j // ntx, j % ntx, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), image.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * wh * ww * c,
+            bytes_accessed=(
+                b * h * w * c * 2 + n * h * w * c * 2 + cpack.size * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(origins, cpack, image)
+    return out.reshape(b, f, h, w, c)
+
+
+def warp_video(
+    image: jnp.ndarray,
+    grid5: jnp.ndarray,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fit-checked tiled warp: MXU one-hot fast path, XLA patch-gather
+    fallback when any tile's corner spread exceeds the static window
+    (`lax.cond`, so only the taken branch executes)."""
+    from cvpr23_lfdm_tpu.ops.warp import grid_sample
+
+    b, f, h, w, _ = grid5.shape
+
+    def xla_path(img, g5):
+        out = grid_sample(img, g5.reshape(b, f * h, w, 2))
+        return out.reshape(b, f, h, w, -1)
+
+    if not tiled_supported(h, w):
+        return xla_path(image, grid5)
+
+    _, _, fit, _ = _tiled_geometry(image, grid5)
+    return jax.lax.cond(
+        fit,
+        lambda img, g5: warp_video_tiled(img, g5, interpret=interpret),
+        xla_path,
+        image, grid5,
+    )
+
+
 # --------------------------------------------------------------- lane gather
 
 

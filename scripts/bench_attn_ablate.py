@@ -175,7 +175,16 @@ def main() -> None:
     cos_t, sin_t = rotary_tables(f, HEADS, D, D**-0.5, jnp.bfloat16)
     STEPS = 10
     base = None
-    for ab in ["full", "kt", "kt_vm"]:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--variants", nargs="+",
+        default=["full", "loop", "kvbuild", "sim", "softmax", "den", "kt",
+                 "kt_vm"],
+    )
+    variants = ap.parse_args().variants
+    for ab in variants:
         def loop(x, ab=ab):
             def body(carry, _):
                 out = call(ab, carry, gamma, wqkv, wout, bias_flat,

@@ -34,7 +34,7 @@ def _cost(compiled) -> tuple[float, float]:
     return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
 
 
-def bench_dm(attn_impl: str) -> None:
+def bench_dm(attn_impl: str, trace_dir: str | None = None) -> None:
     from cvpr23_lfdm_tpu.config import mug_config
     from cvpr23_lfdm_tpu.models.flow_autoenc import init_lfae_vars
     from cvpr23_lfdm_tpu.train.dm_trainer import DMTrainer
@@ -81,6 +81,28 @@ def bench_dm(attn_impl: str) -> None:
 
     t = time_fn(step, k, iters=6, warmup=2)
     sec = t["median_s"]
+    if trace_dir:
+        # per-op device breakdown (profile_sampler.py's parser)
+        from cvpr23_lfdm_tpu.utils.profiling import trace
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from profile_sampler import group_name, parse_xplane
+
+        with trace(trace_dir):
+            for _ in range(3):
+                step(k)
+        ops = parse_xplane(trace_dir)
+        import collections
+
+        groups = collections.defaultdict(float)
+        for name, (ms, _) in ops.items():
+            groups[group_name(name)] += ms
+        print("--- groups (ms/step) ---")
+        for g, ms in sorted(groups.items(), key=lambda kv: -kv[1]):
+            print(f"  {ms / 3:8.2f}  {g}")
+        print("--- top 40 ops (ms/step) ---")
+        for name, (ms, cnt) in sorted(ops.items(), key=lambda kv: -kv[1][0])[:40]:
+            print(f"  {ms / 3:8.3f}  x{cnt // 3:<4d} {name[:140]}")
     print(
         json.dumps(
             {
@@ -155,6 +177,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="dm", choices=["dm", "lfae", "both"])
     ap.add_argument("--attn-impl", default="pallas2")
+    ap.add_argument("--trace", default="", help="xplane trace dir (dm stage)")
     args = ap.parse_args()
     from cvpr23_lfdm_tpu.utils.profiling import enable_compile_cache
 
@@ -165,7 +188,7 @@ def main() -> None:
         )
     )
     if args.stage in ("dm", "both"):
-        bench_dm(args.attn_impl)
+        bench_dm(args.attn_impl, trace_dir=args.trace or None)
     if args.stage in ("lfae", "both"):
         bench_lfae()
 

@@ -9,6 +9,14 @@ sweeps formulations at the exact serving shape to pick the fastest:
   corner4  - four (1,1,C) row gathers, weighted mul-add chain (fusible)
   flat4    - one gather of 4P row indices on [B, HW, C], weighted reduce
   fchunk   - patch, frames processed in chunks of 10 (smaller live set)
+  prepair  - pre-interleave the 2x2 corners into one [H,W,4C] row so each
+             output pixel is ONE row gather
+
+Measured (v5e, B=8, bf16, 67ch): patch 85.3 ms, corner4/flat4 ~2.2x worse,
+prepair 113.5 ms — the 4C=268-lane row spans 3 vregs and XLA's gather rate
+scales with vreg-rows fetched, so widening rows does not help. patch (2
+contiguous 2C segments per pixel) is the best XLA form; beating it needs a
+non-gather formulation (see ops/warp_pallas.py one-hot MXU warp).
 
 Usage: python scripts/bench_warp.py [--batch 8]
 """
@@ -103,7 +111,14 @@ def main() -> None:
     b, f, s, c = args.batch, args.frames, args.size, args.ch
     key = jax.random.PRNGKey(0)
     image = jax.random.normal(key, (b, s, s, c), jnp.bfloat16)
-    grid = jax.random.uniform(key, (b, f * s, s, 2), jnp.float32, -1.1, 1.1)
+    # smooth near-identity grids (what real decode flows look like): the
+    # tiled one-hot kernel's windows must fit; random grids fall back
+    lin = jnp.linspace(-1.0, 1.0, s)
+    gy, gx = jnp.meshgrid(lin, lin, indexing="ij")
+    base = jnp.stack([gx, gy], -1)[None, None]
+    coarse = 0.03 * jax.random.normal(key, (b, f, 8, 8, 2), jnp.float32)
+    disp = jax.image.resize(coarse, (b, f, s, s, 2), "linear")
+    grid = (base + disp).reshape(b, f * s, s, 2)
 
     def patch(im, g):
         return grid_sample(im, g)
@@ -120,10 +135,71 @@ def main() -> None:
     # the ~30 ms tunnel RTT
     grids = jnp.stack([grid * sc for sc in (1.0, 0.99, 0.98, 0.97)])
     STEPS = grids.shape[0]
+    def prepair(im, g):
+        """Pre-interleave the 2x2 corners into one row per source pixel:
+        the bilinear patch becomes a SINGLE row gather (XLA fetches a
+        (2,2,C) window as multiple rows)."""
+        bb, hh, ww, cc = im.shape
+        gh, gw = g.shape[1:3]
+        pad = jnp.pad(im, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        P = jnp.concatenate(
+            [
+                pad[:, :-1, :-1], pad[:, :-1, 1:],
+                pad[:, 1:, :-1], pad[:, 1:, 1:],
+            ],
+            axis=-1,
+        )  # [B, H, W, 4C] (row y,x holds the (2,2) patch at (y,x))
+        x0, y0, wx, wy = _coords(im, g)
+        x0c = jnp.clip(x0, 0, ww - 2)
+        y0c = jnp.clip(y0, 0, hh - 2)
+        lin = (y0c * ww + x0c).reshape(bb, -1)
+        Pf = P.reshape(bb, hh * ww, 4 * cc)
+        patch = jax.vmap(lambda p, i: jnp.take(p, i, axis=0))(Pf, lin)
+        patch = patch.reshape(bb, -1, 2, 2, cc)
+
+        def cellw(c0, i0, frac, size):
+            i1 = i0 + 1
+            in0 = (i0 >= 0) & (i0 <= size - 1)
+            in1 = (i1 >= 0) & (i1 <= size - 1)
+            w0 = jnp.where((c0 == i0) & in0, 1.0 - frac,
+                           jnp.where((c0 == i1) & in1, frac, 0.0))
+            w1 = jnp.where((c0 + 1 == i0) & in0, 1.0 - frac,
+                           jnp.where((c0 + 1 == i1) & in1, frac, 0.0))
+            return w0, w1
+
+        wx0, wx1 = cellw(x0c, x0, wx, ww)
+        wy0, wy1 = cellw(y0c, y0, wy, hh)
+        wts = jnp.stack(
+            [jnp.stack([wy0 * wx0, wy0 * wx1], -1),
+             jnp.stack([wy1 * wx0, wy1 * wx1], -1)], -2,
+        ).reshape(bb, -1, 2, 2)
+        out = jnp.einsum("bpyxc,bpyx->bpc", patch, wts.astype(im.dtype))
+        return out.reshape(bb, gh, gw, cc)
+
+    def pallas_gather(im, g):
+        from cvpr23_lfdm_tpu.ops.warp_pallas import warp_gather
+
+        # one warp per (video, frame): fold frames into batch, repeat the
+        # shared source (feasibility probe for the lane-gather at n=16k)
+        gg = g.reshape(b * f, s, s, 2)
+        imr = jnp.repeat(im, f, axis=0)
+        return warp_gather(imr, gg).reshape(b, f * s, s, c)
+
+    def tiled(im, g):
+        from cvpr23_lfdm_tpu.ops.warp_pallas import warp_video_tiled
+
+        g5 = g.reshape(b, f, s, s, 2)
+        return warp_video_tiled(im, g5).reshape(b, f * s, s, c)
+
+    def tiled_cond(im, g):
+        from cvpr23_lfdm_tpu.ops.warp_pallas import warp_video
+
+        g5 = g.reshape(b, f, s, s, 2)
+        return warp_video(im, g5).reshape(b, f * s, s, c)
+
     ref = None
     for name, fn in [
-        ("patch", patch), ("corner4", corner4), ("flat4", flat4),
-        ("fchunk", fchunk),
+        ("patch", patch), ("tiled", tiled), ("tiled_cond", tiled_cond),
     ]:
         def loop(im, gs, fn=fn):
             def body(acc, g):

@@ -1,6 +1,6 @@
 """Per-op device-time breakdown of the headline sampling graph.
 
-Compiles the exact bench.py serving graph (DDIM-10, bf16, pallas2
+Compiles the exact bench.py serving graph (DDIM-10, bf16, pallas3
 attention), captures a device trace over a few executions, parses the
 xplane proto directly (tensorflow.tsl xplane_pb2; the axon tunnel
 supports device tracing), and prints the top op groups by total device
@@ -102,9 +102,11 @@ def main() -> None:
     cfg = mug_config()
     cfg = cfg.replace(
         diffusion=dataclasses.replace(
-            cfg.diffusion, sampling_timesteps=10, temporal_attn_impl="pallas2"
+            cfg.diffusion, sampling_timesteps=10, temporal_attn_impl="pallas3"
         ),
-        lfae=dataclasses.replace(cfg.lfae, compute_dtype="bfloat16"),
+        lfae=dataclasses.replace(
+            cfg.lfae, compute_dtype="bfloat16", warp_impl="tiled"
+        ),
     )
     model = FlowDiffusion(cfg.lfae, cfg.diffusion)
 

@@ -65,6 +65,23 @@ def main() -> None:
             )
         )(jax.random.PRNGKey(0))
 
+    # The reference entry constructs the AVD network alongside the stage-1
+    # models even though train() never touches it (run_mug.py:133-138,
+    # avd_network unused in the loss) — mirror that for surface parity so
+    # its params exist in the run directory for downstream animation use.
+    from cvpr23_lfdm_tpu.models.avd_network import AVDNetwork
+
+    avd = AVDNetwork(num_regions=cfg.lfae.num_regions)
+    eye = jnp.broadcast_to(jnp.eye(2), (1, cfg.lfae.num_regions, 2, 2))
+    region_like = {"shift": jnp.zeros((1, cfg.lfae.num_regions, 2)), "affine": eye}
+    avd_vars = jax.jit(avd.init)(
+        jax.random.PRNGKey(args.seed), region_like, region_like
+    )
+    print(
+        "avd params:",
+        sum(int(x.size) for x in jax.tree_util.tree_leaves(avd_vars)),
+    )
+
     trainer = LFAETrainer(cfg, steps_per_epoch, vgg_vars)
     ckpt = CheckpointManager(os.path.join(args.log_dir, "lfae_ckpt"))
 

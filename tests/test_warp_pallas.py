@@ -59,6 +59,90 @@ def test_warp_gather_matches_grid_sample(data):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def _grid5(rng, b, f, h, w, jitter, offset=(0.0, 0.0)):
+    """Identity-ish per-frame grids with smooth per-frame displacement."""
+    liny = np.linspace(-1, 1, h)
+    linx = np.linspace(-1, 1, w)
+    gy, gx = np.meshgrid(liny, linx, indexing="ij")
+    base = np.stack([gx, gy], -1)[None, None]          # [1,1,h,w,2]
+    # smooth displacement: per-frame low-freq field upsampled
+    coarse = rng.standard_normal((b, f, 4, 4, 2)).astype(np.float32)
+    disp = jax.image.resize(jnp.asarray(coarse), (b, f, h, w, 2), "linear")
+    g = base + jitter * np.asarray(disp) + np.asarray(offset)
+    return g.astype(np.float32)
+
+
+def test_warp_video_tiled_matches_grid_sample():
+    from cvpr23_lfdm_tpu.ops.warp_pallas import warp_video_tiled
+
+    rng = np.random.default_rng(1)
+    b, f, h, w, c = 2, 3, 48, 48, 5
+    img = rng.random((b, h, w, c)).astype(np.float32)
+    g5 = _grid5(rng, b, f, h, w, jitter=0.05)
+    ref = grid_sample(jnp.asarray(img), jnp.asarray(g5).reshape(b, f * h, w, 2))
+    out = warp_video_tiled(jnp.asarray(img), jnp.asarray(g5), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(b, f * h, w, c), np.asarray(ref), atol=1e-5
+    )
+
+
+def test_warp_video_tiled_full_window_small_frame():
+    from cvpr23_lfdm_tpu.ops.warp_pallas import warp_video_tiled
+
+    rng = np.random.default_rng(2)
+    b, f, h, w, c = 1, 2, 32, 32, 7
+    img = rng.random((b, h, w, c)).astype(np.float32)
+    # wild grids: full-frame window path must handle ANY coords incl. OOB
+    g5 = (2.4 * rng.random((b, f, h, w, 2)) - 1.2).astype(np.float32)
+    ref = grid_sample(jnp.asarray(img), jnp.asarray(g5).reshape(b, f * h, w, 2))
+    out = warp_video_tiled(jnp.asarray(img), jnp.asarray(g5), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(b, f * h, w, c), np.asarray(ref), atol=1e-5
+    )
+
+
+def test_warp_video_tiled_oob_zeros():
+    """Out-of-image corners contribute exactly zero (padding_mode='zeros')."""
+    from cvpr23_lfdm_tpu.ops.warp_pallas import warp_video_tiled
+
+    rng = np.random.default_rng(3)
+    b, f, h, w, c = 1, 1, 48, 48, 3
+    img = rng.random((b, h, w, c)).astype(np.float32)
+    # shift everything toward the left/top border so many samples are OOB
+    g5 = _grid5(rng, b, f, h, w, jitter=0.02, offset=(-0.3, -0.25))
+    ref = grid_sample(jnp.asarray(img), jnp.asarray(g5).reshape(b, f * h, w, 2))
+    out = warp_video_tiled(jnp.asarray(img), jnp.asarray(g5), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(b, f * h, w, c), np.asarray(ref), atol=1e-5
+    )
+
+
+def test_warp_video_fallback_on_wild_grid():
+    """warp_video falls back to the XLA gather when tiles don't fit."""
+    from cvpr23_lfdm_tpu.ops.warp_pallas import _tiled_geometry, warp_video
+
+    rng = np.random.default_rng(4)
+    b, f, h, w, c = 1, 2, 48, 48, 3
+    img = rng.random((b, h, w, c)).astype(np.float32)
+    wild = (2.0 * rng.random((b, f, h, w, 2)) - 1.0).astype(np.float32)
+    _, _, fit, _ = _tiled_geometry(jnp.asarray(img), jnp.asarray(wild))
+    assert not bool(fit)  # random coords cannot fit a 24x32 window
+    ref = grid_sample(jnp.asarray(img), jnp.asarray(wild).reshape(b, f * h, w, 2))
+    out = warp_video(jnp.asarray(img), jnp.asarray(wild), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(b, f * h, w, c), np.asarray(ref), atol=1e-5
+    )
+
+    smooth = _grid5(rng, b, f, h, w, jitter=0.05)
+    _, _, fit, _ = _tiled_geometry(jnp.asarray(img), jnp.asarray(smooth))
+    assert bool(fit)
+    out = warp_video(jnp.asarray(img), jnp.asarray(smooth), interpret=True)
+    ref = grid_sample(jnp.asarray(img), jnp.asarray(smooth).reshape(b, f * h, w, 2))
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(b, f * h, w, c), np.asarray(ref), atol=1e-5
+    )
+
+
 def test_warp_gather_previous_blend(data):
     img, grid, occ, prev = data
     ref = warp_with_occlusion(
