@@ -154,6 +154,43 @@ def main() -> None:
     bt.sort()
     batch_fps = bb * NUM_FRAMES / bt[len(bt) // 2]
 
+    # decode-stage keys: random-weight sampling produces noise flows, so
+    # the tiled one-hot warp's fit check falls back to the XLA gather in
+    # the headline above. These two keys time the decode stage alone at
+    # B=8 with SMOOTH (trained-model-regime) flows, making the production
+    # serving win visible: tiled vs xla decode of 8x40 frames.
+    lin = jnp.linspace(-1.0, 1.0, 32)
+    gy, gx = jnp.meshgrid(lin, lin, indexing="ij")
+    base_g = jnp.stack([gx, gy], -1)[None, None]
+    disp = jax.image.resize(
+        0.03 * jax.random.normal(k_s, (bb, NUM_FRAMES, 8, 8, 2)),
+        (bb, NUM_FRAMES, 32, 32, 2), "linear",
+    )
+    smooth_flow = base_g + disp
+    smooth_conf = jax.random.uniform(k_s, (bb, NUM_FRAMES, 32, 32, 1))
+
+    decode_ms = {}
+    for impl in ("tiled", "xla"):
+        lc = dataclasses.replace(
+            cfg.lfae, compute_dtype="bfloat16", warp_impl=impl
+        )
+        m2 = FlowDiffusion(lc, cfg.diffusion)
+
+        def dec(lv, img, fl, cf, m2=m2):
+            out, _ = m2.decode_flow_video(lv, img, fl, cf)
+            return out.mean()
+
+        cd = jax.jit(dec).lower(
+            lfae_vars, ref_b, smooth_flow, smooth_conf
+        ).compile()
+        runs = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            float(jax.device_get(cd(lfae_vars, ref_b, smooth_flow, smooth_conf)))
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        decode_ms[impl] = runs[len(runs) // 2] * 1e3
+
     achieved_tflops = graph_flops / median / 1e12
     print(
         json.dumps(
@@ -171,6 +208,8 @@ def main() -> None:
                 "mfu": round(achieved_tflops / V5E_PEAK_TFLOPS, 4),
                 "hbm_gb_per_video": round(graph_bytes / 1e9, 2),
                 "hbm_util": round(graph_bytes / median / 1e9 / V5E_HBM_GBPS, 3),
+                "decode8_smoothflow_ms_tiled": round(decode_ms["tiled"], 1),
+                "decode8_smoothflow_ms_xla": round(decode_ms["xla"], 1),
             }
         )
     )

@@ -158,14 +158,70 @@ class Generator(nn.Module):
                 )
             return fl, oc
 
+        # resolve all warp scales upfront: the bottleneck/up-skip scales
+        # plus the full-res skip+source warp (skip_feats[-1] IS
+        # bottleneck_feat, its warp is reused)
+        scale_srcs = [bottleneck_feat]
+        if self.skips:
+            scale_srcs += [
+                skip_feats[-(i + 1)] for i in range(1, len(self.up_blocks))
+            ]
+            scale_srcs.append(skip_feats[0])
+        flows = {}
+        for s in scale_srcs:
+            res = s.shape[1:3]
+            if res not in flows:
+                flows[res] = prep(res)
+
+        use_tiled = self.warp_impl == "tiled" and not train
+        if use_tiled:
+            from cvpr23_lfdm_tpu.ops.warp_pallas import (
+                tiled_fit, tiled_supported,
+            )
+
+            use_tiled = all(tiled_supported(*r) for r in flows)
+        if use_tiled:
+            # ONE fit flag for all scales and ONE conditional around the
+            # whole warp-decoder: per-warp lax.cond barriers cost ~6 ms of
+            # lost overlap at B=1 (windows <= 32^2 always fit; their
+            # geometry returns a constant True that folds away)
+            fit = None
+            for s in scale_srcs:
+                res = s.shape[1:3]
+                g5 = flows[res][0].reshape(b, f, res[0], res[1], 2)
+                sc_fit = tiled_fit(s, g5)
+                fit = sc_fit if fit is None else jnp.logical_and(fit, sc_fit)
+
+            return nn.cond(
+                fit,
+                lambda m: m._decode_warp_stack(
+                    bottleneck_feat, skip_feats, source_image, flows,
+                    train, f, True,
+                ),
+                lambda m: m._decode_warp_stack(
+                    bottleneck_feat, skip_feats, source_image, flows,
+                    train, f, False,
+                ),
+                self,
+            )
+        return self._decode_warp_stack(
+            bottleneck_feat, skip_feats, source_image, flows, train, f, False
+        )
+
+    def _decode_warp_stack(self, bottleneck_feat, skip_feats, source_image,
+                           flows, train, f, tiled: bool):
+        """The warp + bottleneck/up-block decoder given per-scale resized
+        (flow, occlusion); `tiled` statically picks the warp kernel."""
+        b = source_image.shape[0]
+
         def warp_from(src_b, fl):
             """Gather from per-video source `[B, H, W, C]` with per-frame
             grids `[B*f, H, W, 2]` — no repeat of the source."""
             hh, ww, cc = src_b.shape[1:]
-            if self.warp_impl == "tiled" and not train:
-                from cvpr23_lfdm_tpu.ops.warp_pallas import warp_video
+            if tiled:
+                from cvpr23_lfdm_tpu.ops.warp_pallas import warp_video_tiled
 
-                out = warp_video(src_b, fl.reshape(b, f, hh, ww, 2))
+                out = warp_video_tiled(src_b, fl.reshape(b, f, hh, ww, 2))
                 return out.reshape(b * f, hh, ww, cc)
             grid = fl.reshape(b, f * hh, ww, 2)
             out = grid_sample(src_b, grid)
@@ -179,8 +235,7 @@ class Generator(nn.Module):
                 return warped * oc
             return warped * oc + previous * (1.0 - oc)
 
-        h32 = bottleneck_feat.shape[1:3]
-        fl32, occ32 = prep(h32)
+        fl32, occ32 = flows[bottleneck_feat.shape[1:3]]
         w32 = warp_from(bottleneck_feat, fl32)
         out = blend(w32, occ32, None)
         for blk in self.bottleneck:
@@ -192,13 +247,13 @@ class Generator(nn.Module):
                     # skip_feats[-1] IS bottleneck_feat: reuse the gather
                     out = blend(w32, occ32, out)
                 else:
-                    fl_i, occ_i = prep(skip.shape[1:3])
+                    fl_i, occ_i = flows[skip.shape[1:3]]
                     out = blend(warp_from(skip, fl_i), occ_i, out)
             out = blk(out, train)
         deformed = None
         if self.skips:
             skip0 = skip_feats[0]
-            fl0, occ0 = prep(skip0.shape[1:3])
+            fl0, occ0 = flows[skip0.shape[1:3]]
             pack = jnp.concatenate(
                 [skip0, source_image.astype(skip0.dtype)], axis=-1
             )

@@ -284,7 +284,11 @@ class TemporalAttention(nn.Module):
             gamma.astype(jnp.float32),
             wqkv.astype(cdt), wout.astype(cdt),
             bias_flat, cos_t.astype(cdt), sin_t.astype(cdt),
-            self.heads, self.dim_head, interpret=interpret,
+            self.heads, self.dim_head,
+            # pack=32: the isolated-layer sweep preferred 64 by ~7% at
+            # B=8, but in the full UNet pack=64 cost +0.6 ms/eval at B=1
+            # and was a wash at B=8 (scripts/bench_unet.py)
+            pack=32, interpret=interpret,
         )
         return out.reshape(b, f, h, w, c).astype(x.dtype)
 
@@ -531,6 +535,20 @@ def conv_2plus1d(features: int, k: int, name: str | None = None,
     return _Conv(name=name)
 
 
+class _GNParams(nn.Module):
+    """GroupNorm affine params, layout-identical to `nn.GroupNorm` —
+    the fused GN+FiLM+SiLU kernel consumes them directly."""
+
+    dim: int
+
+    def setup(self):
+        self.gn_scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        self.gn_bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+
+    def get(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        return self.gn_scale, self.gn_bias
+
+
 class Block(nn.Module):
     """conv(1,3,3) -> GroupNorm(8) -> FiLM -> SiLU
     (video_flow_diffusion.py:196-211)."""
@@ -538,10 +556,26 @@ class Block(nn.Module):
     dim_out: int
     groups: int = 8
     dtype: jnp.dtype = jnp.float32
+    # serving fast path: whole GN+FiLM+SiLU chain as one VMEM-pass Pallas
+    # kernel (forward-only; param tree unchanged — the GroupNorm module
+    # still owns scale/bias)
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(self, x, scale_shift=None):
         x = conv_2plus1d(self.dim_out, 3, name="proj", dtype=self.dtype)(x)
+        if self.fused_norm:
+            from cvpr23_lfdm_tpu.ops.norm_pallas import groupnorm_film_silu
+
+            gn = _GNParams(self.dim_out, name="norm")
+            gamma, beta = gn.get()
+            scale = shift = None
+            if scale_shift is not None:
+                scale = scale_shift[0].reshape(x.shape[0], self.dim_out)
+                shift = scale_shift[1].reshape(x.shape[0], self.dim_out)
+            return groupnorm_film_silu(
+                x, gamma, beta, scale, shift, groups=self.groups
+            )
         # GroupNorm statistics in fp32 (flax computes stats in fp32
         # internally); under a bf16 policy the normalize stays in bf16 —
         # the explicit fp32 round-trip was pure extra HBM traffic
@@ -561,6 +595,7 @@ class ResnetBlock(nn.Module):
     dim_out: int
     groups: int = 8
     dtype: jnp.dtype = jnp.float32
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(self, x, cond_emb=None):
@@ -571,8 +606,10 @@ class ResnetBlock(nn.Module):
             )
             t = t[:, None, None, None, :]  # broadcast over F,H,W
             scale_shift = jnp.split(t, 2, axis=-1)
-        h = Block(self.dim_out, self.groups, self.dtype, name="block1")(x, scale_shift)
-        h = Block(self.dim_out, self.groups, self.dtype, name="block2")(h)
+        h = Block(self.dim_out, self.groups, self.dtype, self.fused_norm,
+                  name="block1")(x, scale_shift)
+        h = Block(self.dim_out, self.groups, self.dtype, self.fused_norm,
+                  name="block2")(h)
         if x.shape[-1] != self.dim_out:
             x = nn.Conv(self.dim_out, (1, 1, 1), dtype=self.dtype, name="res_conv")(x)
         return (h + x).astype(self.dtype)
@@ -656,6 +693,8 @@ class Unet3D(nn.Module):
     use_final_activation: bool = False
     dtype: jnp.dtype = jnp.float32  # compute dtype (params stay fp32)
     temporal_attn_impl: str = "xla"  # "xla" | "pallas" (packed-tile kernel)
+    # None = follow temporal_attn_impl (fused on pallas3 serving)
+    fused_norm: bool | None = None
 
     @nn.compact
     def __call__(self, x, time, cond=None, null_cond_mask=None,
@@ -692,6 +731,12 @@ class Unet3D(nn.Module):
             if self.temporal_attn_impl.startswith("pallas3")
             else SpatialLinearAttention
         )
+        # fused GN+FiLM+SiLU kernel exists (ops/norm_pallas.py) but is OFF
+        # by default: measured on v5e it LOSES (B=1 7.0->9.1 ms, B=8
+        # 39.7->47.3 per UNet eval) — XLA already fuses the GN stats pass
+        # into the producing conv's epilogue and the normalize into the
+        # consumer, so a custom call only adds materialization boundaries
+        fused = bool(self.fused_norm)
         x = x.astype(self.dtype)
 
         pos_bias = RelativePositionBias(
@@ -738,8 +783,8 @@ class Unet3D(nn.Module):
         hs = []
         for ind, (_, dim_out) in enumerate(in_out):
             is_last = ind >= n_levels - 1
-            x = ResnetBlock(dim_out, self.resnet_groups, self.dtype, name=f"downs_{ind}_block1")(x, t)
-            x = ResnetBlock(dim_out, self.resnet_groups, self.dtype, name=f"downs_{ind}_block2")(x, t)
+            x = ResnetBlock(dim_out, self.resnet_groups, self.dtype, fused, name=f"downs_{ind}_block1")(x, t)
+            x = ResnetBlock(dim_out, self.resnet_groups, self.dtype, fused, name=f"downs_{ind}_block2")(x, t)
             if self.use_sparse_linear_attn:
                 # reference quirk: linear attn dim_head is always the
                 # default 32 (video_flow_diffusion.py:464)
@@ -756,7 +801,7 @@ class Unet3D(nn.Module):
                 x = Downsample(dim_out, self.dtype, name=f"downs_{ind}_downsample")(x)
 
         mid_dim = dims[-1]
-        x = ResnetBlock(mid_dim, self.resnet_groups, self.dtype, name="mid_block1")(x, t)
+        x = ResnetBlock(mid_dim, self.resnet_groups, self.dtype, fused, name="mid_block1")(x, t)
         # reference quirk: mid spatial attention always uses dim_head=32
         # (Attention default not forwarded, video_flow_diffusion.py:473)
         x = PreNormResidual(
@@ -767,13 +812,13 @@ class Unet3D(nn.Module):
             mid_dim, temporal_cls, heads, self.attn_dim_head, self.dtype,
             name="mid_temporal_attn",
         )(x, pos_bias=pos_bias, focus_present_mask=focus_present_mask)
-        x = ResnetBlock(mid_dim, self.resnet_groups, self.dtype, name="mid_block2")(x, t)
+        x = ResnetBlock(mid_dim, self.resnet_groups, self.dtype, fused, name="mid_block2")(x, t)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind >= n_levels - 1
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResnetBlock(dim_in, self.resnet_groups, self.dtype, name=f"ups_{ind}_block1")(x, t)
-            x = ResnetBlock(dim_in, self.resnet_groups, self.dtype, name=f"ups_{ind}_block2")(x, t)
+            x = ResnetBlock(dim_in, self.resnet_groups, self.dtype, fused, name=f"ups_{ind}_block1")(x, t)
+            x = ResnetBlock(dim_in, self.resnet_groups, self.dtype, fused, name=f"ups_{ind}_block2")(x, t)
             if self.use_sparse_linear_attn:
                 x = PreNormResidual(
                     dim_in, sla_cls, heads, 32, self.dtype,
@@ -792,11 +837,11 @@ class Unet3D(nn.Module):
         # two heads, each ResnetBlock(dim*2 -> dim) + 1x1x1 conv
         # (video_flow_diffusion.py:493-509)
         x = jnp.concatenate([x, r], axis=-1)
-        grid = ResnetBlock(dim, self.resnet_groups, self.dtype, name="final_block")(x)
+        grid = ResnetBlock(dim, self.resnet_groups, self.dtype, fused, name="final_block")(x)
         grid = nn.Conv(self.out_grid_dim, (1, 1, 1), name="final_conv")(grid)
         if self.use_final_activation:
             grid = jnp.tanh(grid)
-        conf = ResnetBlock(dim, self.resnet_groups, self.dtype, name="occlusion_block")(x)
+        conf = ResnetBlock(dim, self.resnet_groups, self.dtype, fused, name="occlusion_block")(x)
         conf = nn.Conv(self.out_conf_dim, (1, 1, 1), name="occlusion_conv")(conf)
         # eps prediction back in fp32 (heads' convs default to fp32 compute)
         return jnp.concatenate([grid, conf], axis=-1).astype(jnp.float32)

@@ -355,6 +355,15 @@ def warp_video_tiled(
     return out.reshape(b, f, h, w, c)
 
 
+def tiled_fit(image: jnp.ndarray, grid5: jnp.ndarray) -> jnp.ndarray:
+    """Scalar bool: every output tile's valid-corner spread fits the
+    static window (the tiled kernel is then exactly grid_sample). The
+    geometry is recomputed inside `warp_video_tiled` — XLA CSEs the two
+    copies when both live under one jit."""
+    _, _, fit, _ = _tiled_geometry(image, grid5)
+    return fit
+
+
 def warp_video(
     image: jnp.ndarray,
     grid5: jnp.ndarray,

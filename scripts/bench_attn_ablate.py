@@ -5,7 +5,17 @@ Times ablated copies of `_fused_layer_kernel` at the serving hot shape
 per-pixel inner loop; (full - variant) attributes device time to that
 piece. Variants are NOT numerically meaningful — timing only.
 
-Usage: python scripts/bench_attn_ablate.py
+Usage: python scripts/bench_attn_ablate.py [--variants full loop ...]
+
+Measured (v5e, round 3): full 8.64 ms/layer in this harness; removing the
+whole per-pixel loop -3.78; hoisting kv build+transpose -0.87; skipping
+the score matmul -2.53 (its pure-MXU cost ~1.7 after subtracting the
+hoisted build); exp -0.76; den matmul -0.66. The kt/kt_vm transposed-k8
+forms are 2.1 ms WORSE; a per-step [F,P,hd]->[hd,P,F] k-transpose variant
+fails Mosaic lowering (3D transpose of the minor axis). Conclusion: the
+head-packed formulation sits ~1 ms/layer above its own matmul floor, and
+the M=40-row matmuls are ~84%-per-MXU efficient — the remaining per-pixel
+VPU glue (kv concat+mask ~0.9) is the only recoverable slice.
 """
 
 from __future__ import annotations

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pm", type=int, nargs="+", default=[1, 2, 4])
+    ap.add_argument("--pack", type=int, nargs="+", default=[32])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--hw", type=int, default=1024)
     ap.add_argument("--dim", type=int, default=64)
@@ -83,20 +84,22 @@ def main() -> None:
 
     run(pallas2_layer, "pallas2+glue")
 
-    for pm in args.pm:
-        run(
-            functools.partial(
-                _fused, fused_temporal_layer, gamma, wqkv, wout, bias_flat,
-                cos_t, sin_t, heads, d, pm,
-            ),
-            f"fused_pm{pm}",
-        )
+    for pack in args.pack:
+        for pm in args.pm:
+            run(
+                functools.partial(
+                    _fused, fused_temporal_layer, gamma, wqkv, wout,
+                    bias_flat, cos_t, sin_t, heads, d, pm, pack,
+                ),
+                f"fused_pm{pm}_pack{pack}",
+            )
 
 
-def _fused(kern, gamma, wqkv, wout, bias_flat, cos_t, sin_t, heads, d, pm, xx):
+def _fused(kern, gamma, wqkv, wout, bias_flat, cos_t, sin_t, heads, d, pm,
+           pack, xx):
     return kern(
         xx, gamma, wqkv.astype(xx.dtype), wout.astype(xx.dtype), bias_flat,
-        cos_t, sin_t, heads, d, pixels_per_matmul=pm,
+        cos_t, sin_t, heads, d, pack=pack, pixels_per_matmul=pm,
     )
 
 

@@ -29,13 +29,17 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=32)
     ap.add_argument("--trace", action="store_true",
                     help="device-trace one eval and print the top-op table")
+    ap.add_argument("--fused-norm", default=None,
+                    type=lambda s: s.lower() in ("1", "true", "yes"),
+                    help="override the GN+FiLM+SiLU fused-kernel choice")
     ap.add_argument("--top", type=int, default=30)
     args = ap.parse_args()
 
     from cvpr23_lfdm_tpu.models.unet3d import Unet3D
     from cvpr23_lfdm_tpu.utils.profiling import time_fn
 
-    unet = Unet3D(dtype=jnp.bfloat16, temporal_attn_impl=args.attn)
+    unet = Unet3D(dtype=jnp.bfloat16, temporal_attn_impl=args.attn,
+                  fused_norm=args.fused_norm)
     f, s = args.frames, args.size
     k = jax.random.PRNGKey(0)
     x1 = jax.random.normal(k, (1, f, s, s, 3), jnp.float32)

@@ -2,8 +2,10 @@
 
 Runs the MUG-scale sampling pipeline twice on identical weights and an
 identical injected noise sequence — once with the XLA attention einsums,
-once with the head-packed Pallas kernel (`temporal_attn_impl=pallas2`) —
-and reports the decoded-video difference. The interpret-mode unit tests
+once with the full serving kernel stack (`temporal_attn_impl=pallas3`:
+fused whole-layer attention + fused GroupNorm/FiLM/SiLU, plus the tiled
+one-hot decode warp `warp_impl=tiled`) — and reports the decoded-video
+difference. The interpret-mode unit tests
 (test_attention_pallas.py) pin exact math at toy shapes; this checks the
 compiled Mosaic kernel at the real shapes/precision the bench ships.
 
@@ -63,13 +65,16 @@ def main() -> None:
     noises = jnp.asarray(rng.randn(10, *shape), jnp.float32)
 
     outs = {}
-    for impl in ("xla", "pallas2"):
+    for impl in ("xla", "pallas3"):
         cfg = base.replace(
             diffusion=dataclasses.replace(
                 base.diffusion, sampling_timesteps=10,
                 compute_dtype=args.dtype, temporal_attn_impl=impl,
             ),
-            lfae=dataclasses.replace(base.lfae, compute_dtype=args.dtype),
+            lfae=dataclasses.replace(
+                base.lfae, compute_dtype=args.dtype,
+                warp_impl="tiled" if impl != "xla" else "xla",
+            ),
         )
         model = FlowDiffusion(cfg.lfae, cfg.diffusion)
         k_lfae, k_unet = jax.random.split(jax.random.PRNGKey(0))
@@ -89,10 +94,10 @@ def main() -> None:
 
     ok = True
     for key in ("vid_grid", "vid_conf", "out_vid", "warped_vid"):
-        d = float(np.max(np.abs(outs["xla"][key] - outs["pallas2"][key])))
+        d = float(np.max(np.abs(outs["xla"][key] - outs["pallas3"][key])))
         status = "ok" if d <= TOL[args.dtype] else "FAIL"
         ok &= d <= TOL[args.dtype]
-        print(f"{key:12s} max|xla - pallas2| = {d:.3e}  [{status}]")
+        print(f"{key:12s} max|xla - pallas3| = {d:.3e}  [{status}]")
     sys.exit(0 if ok else 1)
 
 

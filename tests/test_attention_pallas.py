@@ -192,3 +192,54 @@ def test_fused_spatial_linear_layer_matches_xla():
     ref = m_x.apply(variables, x)
     out = m_p.apply(variables, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_fused_groupnorm_film_silu_matches_block():
+    """ops/norm_pallas GN+FiLM+SiLU kernel == the unfused flax Block,
+    identical param tree (fused_norm flips only the compute path)."""
+    from cvpr23_lfdm_tpu.models.unet3d import Block
+
+    rng = np.random.default_rng(5)
+    b, f, h, w, c = 2, 5, 8, 8, 16
+    x = jnp.asarray(rng.standard_normal((b, f, h, w, c)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal((b, 1, 1, 1, c)), jnp.float32)
+    shift = jnp.asarray(rng.standard_normal((b, 1, 1, 1, c)), jnp.float32)
+
+    m_x = Block(c, groups=8)
+    m_p = Block(c, groups=8, fused_norm=True)
+    variables = jax.jit(lambda r: m_x.init(r, x))(jax.random.PRNGKey(0))
+    v2 = m_p.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(variables) == (
+        jax.tree_util.tree_structure(v2)
+    )
+    for ss in (None, (scale, shift)):
+        ref = m_x.apply(variables, x, ss)
+        out = m_p.apply(variables, x, ss)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-5
+        )
+
+
+def test_fused_groupnorm_random_affine():
+    """Kernel handles non-trivial gamma/beta and bf16 inputs."""
+    from cvpr23_lfdm_tpu.ops.norm_pallas import groupnorm_film_silu
+
+    rng = np.random.default_rng(6)
+    b, f, h, w, c = 1, 3, 8, 8, 32
+    x = jnp.asarray(rng.standard_normal((b, f, h, w, c)), jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+
+    import flax.linen as nn
+
+    gn = nn.GroupNorm(num_groups=8, epsilon=1e-5)
+    ref = gn.apply({"params": {"scale": gamma, "bias": beta}}, x)
+    ref = nn.silu(ref)
+    out = groupnorm_film_silu(x, gamma, beta, groups=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    xb = x.astype(jnp.bfloat16)
+    outb = groupnorm_film_silu(xb, gamma, beta, groups=8)
+    np.testing.assert_allclose(
+        np.asarray(outb, np.float32), np.asarray(ref), atol=0.03
+    )
