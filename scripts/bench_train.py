@@ -66,9 +66,15 @@ def bench_dm(attn_impl: str, trace_dir: str | None = None) -> None:
     from cvpr23_lfdm_tpu.parallel.mesh import shard_batch
 
     sb = shard_batch(batch, trainer.mesh)
+    import time as _time
+
+    t0 = _time.perf_counter()
+    print(f"[dm] compiling train step (bs={bs}, attn={attn_impl})...",
+          flush=True)
     compiled = trainer._train_step.lower(
         state, trainer.lfae_vars, k, sb, with_monitoring=False
     ).compile()
+    print(f"[dm] compile {_time.perf_counter() - t0:.1f}s", flush=True)
     flops, nbytes = _cost(compiled)
 
     carry = {"state": state}
