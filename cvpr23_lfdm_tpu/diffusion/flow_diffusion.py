@@ -97,7 +97,8 @@ class FlowDiffusion:
     # ------------------------------------------------------------ pseudo GT
 
     def pseudo_ground_truth(
-        self, lfae_vars: dict, ref_img: jnp.ndarray, real_vid: jnp.ndarray
+        self, lfae_vars: dict, ref_img: jnp.ndarray, real_vid: jnp.ndarray,
+        with_decode: bool = True,
     ) -> dict:
         """Frozen-LFAE latent flow volume for a real video
         (video_flow_diffusion_model.py:116-143), frame-batched.
@@ -105,9 +106,15 @@ class FlowDiffusion:
         Args:
           ref_img: `[B, H, W, 3]` (frame 0 of each video in training).
           real_vid: `[B, F, H, W, 3]`.
+          with_decode: also decode the LFAE reconstruction
+            (`out_vid`/`warped_vid`). The diffusion loss only needs
+            flow/conf/ref_fea; the reconstruction feeds monitoring
+            (reference pays it every step, :125-141 — here non-log train
+            steps skip it, ~1/3 of the r2 step time).
 
         Returns dict with `vid_grid [B,F,h,w,2]`, `vid_conf [B,F,h,w,1]`,
-        `out_vid`/`warped_vid [B,F,H,W,3]`, `ref_fea [B,h,w,C]`.
+        `ref_fea [B,h,w,C]`, and (with_decode) `out_vid`/`warped_vid`
+        `[B,F,H,W,3]`.
         """
         b, f = real_vid.shape[:2]
         region_vars = self._lfae_sub(lfae_vars, "region_predictor")
@@ -130,16 +137,20 @@ class FlowDiffusion:
             _repeat_frames(source_params, f),
             bg_params,
             frames=f,
-            method=Generator.forward_video,
+            method=(
+                Generator.forward_video if with_decode
+                else Generator.forward_flow_video
+            ),
         )
         out = {
             "vid_grid": _unfold(generated["optical_flow"], b),
             "vid_conf": _unfold(generated["occlusion_map"], b),
-            "out_vid": _unfold(generated["prediction"], b),
-            "warped_vid": _unfold(generated["deformed"], b),
             # encoder ran once per video already
             "ref_fea": generated["bottle_neck_feat"],
         }
+        if with_decode:
+            out["out_vid"] = _unfold(generated["prediction"], b)
+            out["warped_vid"] = _unfold(generated["deformed"], b)
         return jax.lax.stop_gradient(out)
 
     # ------------------------------------------------------------ latent codec
@@ -206,7 +217,13 @@ class FlowDiffusion:
         `pred_x0` is always stop-gradient'd; `only_use_flow=False` only
         changes the reported total.
         """
-        gt = self.pseudo_ground_truth(lfae_vars, ref_img, real_vid)
+        gt = self.pseudo_ground_truth(
+            lfae_vars, ref_img, real_vid,
+            # the LFAE reconstruction (real-out/real-warp) feeds only the
+            # periodic viz dumps; the rec monitoring losses below compare
+            # against real_vid directly, so non-log steps skip the decode
+            with_decode=with_monitoring,
+        )
         x_start = self.encode_latent(gt["vid_grid"], gt["vid_conf"])
         loss, dm_aux = self.diffusion.p_losses(
             self.denoise_fn(unet_vars), rng, x_start, gt["ref_fea"], cond, none_cond_mask

@@ -330,6 +330,28 @@ class Generator(nn.Module):
         output["deformed"] = deformed
         return output
 
+    def forward_flow_video(self, source_image, driving_params, source_params,
+                           bg_params=None, train: bool = False,
+                           frames: int = 1) -> dict:
+        """`forward_video` WITHOUT the warping decoder: encoder bottleneck
+        (the DM's `ref_fea`) + dense flow/occlusion prediction only.
+
+        The diffusion training loss consumes exactly {optical_flow,
+        occlusion_map, bottle_neck_feat} (video_flow_diffusion_model.py:
+        146-157); the reconstruction the reference also computes every
+        step (:125-141) feeds only monitoring, so the trainer calls this
+        on non-log steps and the full `forward_video` on log steps."""
+        bottleneck_feat, _ = self._encode(source_image, train)
+        motion = self.pixelwise_flow_predictor(
+            source_image, driving_params, source_params, bg_params, train,
+            frames=frames,
+        )
+        return {
+            "bottle_neck_feat": bottleneck_feat,
+            "optical_flow": motion["optical_flow"],
+            "occlusion_map": motion.get("occlusion_map"),
+        }
+
     def compute_fea(self, source_image, train: bool = False) -> jnp.ndarray:
         bottleneck_feat, _ = self._encode(source_image, train)
         return bottleneck_feat

@@ -95,3 +95,26 @@ def test_dm_train_and_sample():
     assert out["out_vid"].shape == (1, 4, 64, 64, 3)
     assert np.isfinite(out["out_vid"]).all()
     assert out["vid_conf"].min() >= 0.0 and out["vid_conf"].max() <= 1.0
+
+
+def test_pseudo_gt_decode_free_matches():
+    """`pseudo_ground_truth(with_decode=False)` (non-log train steps)
+    returns bit-identical flow/conf/ref_fea to the decoded form and
+    omits exactly the reconstruction keys."""
+    cfg, trainer, state = _setup()
+    batch = {k: v[:2] for k, v in _batch(cfg).items()}
+    full = jax.device_get(
+        jax.jit(trainer.model.pseudo_ground_truth)(
+            trainer.lfae_vars, batch["ref_img"], batch["real_vid"]
+        )
+    )
+    lean = jax.device_get(
+        jax.jit(
+            lambda lv, r, v: trainer.model.pseudo_ground_truth(
+                lv, r, v, with_decode=False
+            )
+        )(trainer.lfae_vars, batch["ref_img"], batch["real_vid"])
+    )
+    assert set(full) - set(lean) == {"out_vid", "warped_vid"}
+    for k in lean:
+        np.testing.assert_array_equal(full[k], lean[k])
