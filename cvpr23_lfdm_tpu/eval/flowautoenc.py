@@ -90,10 +90,10 @@ def evaluate(
         f = vid.shape[1]
         chunks = []
         for s in range(0, f, frame_chunk):
+            # a ragged tail runs at its natural size (one extra compiled
+            # shape) instead of padding with repeated frames whose
+            # compute is cropped away
             piece = vid[:, s : s + frame_chunk]
-            if piece.shape[1] < frame_chunk:  # ragged tail: pad, crop after
-                pad = frame_chunk - piece.shape[1]
-                piece = jnp.concatenate([piece, piece[:, -1:].repeat(pad, 1)], 1)
             chunks.append(jax.device_get(run(lfae_vars, ref, piece)))
         out = {
             k: np.concatenate([c[k] for c in chunks], axis=1)[:, :f]

@@ -314,7 +314,8 @@ def test_flowautoenc_evaluate_covers_full_split(corpora):
     flowautoenc.make_reconstruct_fn = counting
     try:
         # batch 3 over 4 videos -> ceil = 2 batches (3 + 1);
-        # frame_chunk 2 over 5 frames -> ragged tail chunk padded+cropped
+        # frame_chunk 2 over 5 frames -> ragged 1-frame tail chunk runs
+        # at its natural size (no repeated-frame padding waste)
         result = flowautoenc.evaluate(
             lfae_vars, cfg, dataset, batch_size=3, frame_chunk=2
         )
