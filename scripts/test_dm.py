@@ -27,6 +27,16 @@ def main() -> None:
     p.add_argument("--num-videos", type=int, default=4)
     p.add_argument("--save-video", action="store_true")
     p.add_argument(
+        "--i3d-weights", default="",
+        help="pytorch_i3d rgb_imagenet.pt for published-scale FVD "
+        "(eval/i3d.py); omitted = FVD skipped",
+    )
+    p.add_argument(
+        "--lpips-weights", default="",
+        help="official LPIPS checkpoint dir or .pth with vgg16 features + "
+        "lin weights (eval/lpips.py); omitted = LPIPS skipped",
+    )
+    p.add_argument(
         "--mean", type=float, nargs=3, default=(0.0, 0.0, 0.0),
         help="per-channel pixel mean, 0-255 scale (reference MEAN constant; "
         "every reference script uses (0,0,0))",
@@ -95,10 +105,42 @@ def main() -> None:
 
     from cvpr23_lfdm_tpu.eval.metrics import psnr, ssim
 
+    # published-scale quality metrics, enabled by their weight files
+    fvd_extract = lpips_fn = None
+    if args.i3d_weights or args.lpips_weights:
+        # flat module state dicts (not the reference's nested ckpt layout)
+        import torch
+
+        def load_flat(path):
+            return torch.load(path, map_location="cpu", weights_only=False)
+
+    if args.i3d_weights:
+        from cvpr23_lfdm_tpu.eval.i3d import convert_i3d_checkpoint, i3d_extractor
+
+        fvd_extract = i3d_extractor(
+            convert_i3d_checkpoint(load_flat(args.i3d_weights))
+        )
+    if args.lpips_weights:
+        from cvpr23_lfdm_tpu.eval.lpips import (
+            convert_lpips_lin, convert_vgg16_features, make_lpips,
+        )
+
+        lp = args.lpips_weights
+        if os.path.isdir(lp):
+            feat_sd = load_flat(os.path.join(lp, "vgg16_features.pth"))
+            lin_sd = load_flat(os.path.join(lp, "lpips_vgg_lin.pth"))
+        else:  # one file holding {"features": ..., "lin": ...}
+            both = load_flat(lp)
+            feat_sd, lin_sd = both["features"], both["lin"]
+        lpips_fn = make_lpips(
+            convert_vgg16_features(feat_sd), convert_lpips_lin(lin_sd)
+        )
+
     out_dir = os.path.join(args.log_dir, "dm_test")
     os.makedirs(out_dir, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
     rec_losses, warp_losses, psnrs, ssims = [], [], [], []
+    lpips_vals, real_set, fake_set = [], [], []
     n = min(args.num_videos, len(dataset))
     for i in range(n):
         item = dataset[i]
@@ -113,6 +155,14 @@ def main() -> None:
         warp_losses.append(float(aux["rec_warp_loss"]))
         psnrs.append(float(psnr(vid, jnp.asarray(out["out_vid"]))))
         ssims.append(float(ssim(vid, jnp.asarray(out["out_vid"]))))
+        if lpips_fn is not None:
+            # frame-wise LPIPS averaged over the video (published protocol)
+            lpips_vals.append(
+                float(jnp.mean(lpips_fn(vid[0], jnp.asarray(out["out_vid"][0]))))
+            )
+        if fvd_extract is not None:
+            real_set.append(np.asarray(item["video"]))
+            fake_set.append(np.asarray(out["out_vid"][0]))
         print(
             f"[{i + 1}/{n}] {item['name']}: loss {float(loss):.4f} "
             f"rec {rec_losses[-1]:.4f} warp {warp_losses[-1]:.4f} "
@@ -125,10 +175,18 @@ def main() -> None:
                 [to_uint8(real), to_uint8(fake)], axis=2
             )  # [F, H, 2W, 3]
             save_gif(os.path.join(out_dir, f"{item['name']}.gif"), rows)
-    print(
+    line = (
         f"mean rec {np.mean(rec_losses):.4f} mean warp {np.mean(warp_losses):.4f} "
         f"mean psnr {np.mean(psnrs):.2f} mean ssim {np.mean(ssims):.3f}"
     )
+    if lpips_vals:
+        line += f" mean lpips {np.mean(lpips_vals):.4f}"
+    if fvd_extract is not None and real_set:
+        from cvpr23_lfdm_tpu.eval.metrics import FVD
+
+        fvd = FVD(fvd_extract)
+        line += f" fvd {float(fvd(np.stack(real_set), np.stack(fake_set))):.2f}"
+    print(line)
 
 
 if __name__ == "__main__":
