@@ -153,3 +153,40 @@ def test_warp_gather_previous_blend(data):
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_warp_video_fit_boundary():
+    """Fit check flips exactly at the window capacity: a tile whose
+    valid-corner spread equals WH-1 fits; one more pixel falls back."""
+    from cvpr23_lfdm_tpu.ops.warp_pallas import (
+        _WIN_H, _tiled_geometry, warp_video,
+    )
+
+    rng = np.random.default_rng(7)
+    b, f, h, w, c = 1, 1, 48, 48, 3
+    img = rng.random((b, h, w, c)).astype(np.float32)
+
+    def grid_with_y_spread(spread_px):
+        # identity grid, then stretch ONE tile's y-coords so its corner
+        # coverage spans exactly `spread_px + 1` rows
+        liny = np.linspace(-1, 1, h, dtype=np.float32)
+        gy, gx = np.meshgrid(liny, liny, indexing="ij")
+        g = np.stack([gx, gy], -1)[None, None].repeat(f, 1).copy()
+        # pixel y=0..15 of tile (0,0): map to source rows 0..spread_px
+        ys = np.linspace(0, spread_px, 16, dtype=np.float32)
+        # unnormalized iy = ((g+1)*h-1)/2  =>  g = (2*iy+1)/h - 1
+        g[0, 0, :16, :16, 1] = ((2 * ys + 1) / h - 1)[:, None]
+        return g
+
+    # corners span floor(ys) .. floor(ys)+1: spread = spread_px + 1 rows
+    g_fit = grid_with_y_spread(_WIN_H - 2)       # spread WH-1 -> fits
+    g_unfit = grid_with_y_spread(_WIN_H + 2.0)   # spread > WH -> fallback
+    for g, want in ((g_fit, True), (g_unfit, False)):
+        _, _, fit, _ = _tiled_geometry(jnp.asarray(img), jnp.asarray(g))
+        assert bool(fit) == want, (want, _WIN_H)
+        # either way the result equals grid_sample exactly
+        ref = grid_sample(jnp.asarray(img), jnp.asarray(g).reshape(b, f * h, w, 2))
+        out = warp_video(jnp.asarray(img), jnp.asarray(g), interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out).reshape(b, f * h, w, c), np.asarray(ref), atol=2e-5
+        )
