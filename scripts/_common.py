@@ -49,6 +49,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "kernel on TPU (fwd+bwd, ~4x the XLA form), XLA einsums elsewhere",
     )
     p.add_argument(
+        "--warp-impl", default="auto", choices=["auto", "xla", "tiled"],
+        help="serving decode warp: tiled one-hot MXU kernel with fit-checked "
+        "XLA fallback (auto = tiled on TPU); training always uses XLA",
+    )
+    p.add_argument(
         "--coordinator", default="",
         help="multi-host: coordinator address host:port (DCN training; "
         "every process runs this same script). On TPU pods with cluster "
@@ -75,6 +80,18 @@ def resolve_attn_impl(args, training: bool = False) -> str:
     if jax.default_backend() != "tpu":
         return "xla"
     return "pallas2" if training else "pallas3"
+
+
+def resolve_warp_impl(args) -> str:
+    """'auto' -> the tiled one-hot MXU decode warp on TPU (its fit-checked
+    lax.cond falls back to the XLA gather for non-window-fitting flows),
+    plain XLA elsewhere. Eval-mode decodes only; the Generator ignores the
+    knob under train=True."""
+    if getattr(args, "warp_impl", "auto") != "auto":
+        return args.warp_impl
+    import jax
+
+    return "tiled" if jax.default_backend() == "tpu" else "xla"
 
 
 def setup_platform(args) -> None:

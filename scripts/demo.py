@@ -13,7 +13,8 @@ import jax
 import numpy as np
 
 from _common import (
-    base_parser, load_text_embedder, resolve_attn_impl, setup_platform,
+    base_parser, load_text_embedder, resolve_attn_impl,
+    resolve_warp_impl, setup_platform,
 )
 
 
@@ -52,7 +53,8 @@ def main() -> None:
         diffusion=dataclasses.replace(
             cfg.diffusion, sampling_timesteps=args.sampling_steps,
             temporal_attn_impl=resolve_attn_impl(args),
-        )
+        ),
+        lfae=dataclasses.replace(cfg.lfae, warp_impl=resolve_warp_impl(args)),
     )
     model = FlowDiffusion(cfg.lfae, cfg.diffusion)
     size = cfg.lfae.frame_shape

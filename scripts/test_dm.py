@@ -14,7 +14,7 @@ import numpy as np
 
 from _common import (
     base_parser, load_text_embedder, resolve_attn_impl, resolve_data_root,
-    setup_platform,
+    resolve_warp_impl, setup_platform,
 )
 
 
@@ -62,7 +62,8 @@ def main() -> None:
         diffusion=dataclasses.replace(
             cfg.diffusion, sampling_timesteps=args.sampling_steps,
             temporal_attn_impl=resolve_attn_impl(args),
-        )
+        ),
+        lfae=dataclasses.replace(cfg.lfae, warp_impl=resolve_warp_impl(args)),
     )
     model = FlowDiffusion(cfg.lfae, cfg.diffusion)
     root = resolve_data_root(args, cfg.lfae.frame_shape)
