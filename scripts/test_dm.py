@@ -23,7 +23,12 @@ def main() -> None:
     p.add_argument("--lfae-ckpt", default="")
     p.add_argument("--dm-ckpt", default="")
     p.add_argument("--cond-scale", type=float, default=1.0)
-    p.add_argument("--sampling-steps", type=int, default=10)
+    p.add_argument(
+        "--sampling-steps", type=int, default=0,
+        help="0 = reference per-dataset default: DDIM 10 for MUG/MHAD "
+        "(test_video_flow_diffusion_mug.py:28-33), 200 for NATOPS "
+        "(test_..._natops.py:25)",
+    )
     p.add_argument("--num-videos", type=int, default=4)
     p.add_argument("--save-video", action="store_true")
     p.add_argument(
@@ -58,9 +63,10 @@ def main() -> None:
     from cvpr23_lfdm_tpu.utils.viz import save_gif, to_uint8
 
     cfg = PRESETS[args.dataset]()
+    steps = args.sampling_steps or (200 if args.dataset == "natops" else 10)
     cfg = cfg.replace(
         diffusion=dataclasses.replace(
-            cfg.diffusion, sampling_timesteps=args.sampling_steps,
+            cfg.diffusion, sampling_timesteps=steps,
             temporal_attn_impl=resolve_attn_impl(args),
         ),
         lfae=dataclasses.replace(cfg.lfae, warp_impl=resolve_warp_impl(args)),
