@@ -54,6 +54,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "XLA fallback (auto = tiled on TPU); training always uses XLA",
     )
     p.add_argument(
+        "--lfae-dtype", default="", choices=["", "float32", "bfloat16"],
+        help="LFAE compute dtype override (default: preset float32 = "
+        "reference numerics). bfloat16 is the bench.py serving "
+        "configuration — ~2x faster decode / frozen pseudo-GT convs at "
+        "~1e-2 output drift (params stay fp32 either way)",
+    )
+    p.add_argument(
         "--coordinator", default="",
         help="multi-host: coordinator address host:port (DCN training; "
         "every process runs this same script). On TPU pods with cluster "
@@ -92,6 +99,18 @@ def resolve_warp_impl(args) -> str:
     import jax
 
     return "tiled" if jax.default_backend() == "tpu" else "xla"
+
+
+def apply_lfae_dtype(cfg, args):
+    """Apply the `--lfae-dtype` override to a full Config (no-op when the
+    flag is empty = keep the preset's float32 reference numerics)."""
+    if getattr(args, "lfae_dtype", ""):
+        import dataclasses
+
+        cfg = cfg.replace(
+            lfae=dataclasses.replace(cfg.lfae, compute_dtype=args.lfae_dtype)
+        )
+    return cfg
 
 
 def setup_platform(args) -> None:

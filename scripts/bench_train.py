@@ -34,7 +34,10 @@ def _cost(compiled) -> tuple[float, float]:
     return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
 
 
-def bench_dm(attn_impl: str, trace_dir: str | None = None) -> None:
+def bench_dm(
+    attn_impl: str, trace_dir: str | None = None,
+    lfae_dtype: str = "float32",
+) -> None:
     from cvpr23_lfdm_tpu.config import mug_config
     from cvpr23_lfdm_tpu.models.flow_autoenc import init_lfae_vars
     from cvpr23_lfdm_tpu.train.dm_trainer import DMTrainer
@@ -44,7 +47,8 @@ def bench_dm(attn_impl: str, trace_dir: str | None = None) -> None:
     cfg = cfg.replace(
         diffusion=dataclasses.replace(
             cfg.diffusion, temporal_attn_impl=attn_impl
-        )
+        ),
+        lfae=dataclasses.replace(cfg.lfae, compute_dtype=lfae_dtype),
     )
     bs = cfg.dm_train.batch_size  # reference MUG: 5
     size = cfg.lfae.frame_shape
@@ -117,6 +121,7 @@ def bench_dm(attn_impl: str, trace_dir: str | None = None) -> None:
                 "batch_size": bs,
                 "frames": f,
                 "attn_impl": attn_impl,
+                "lfae_dtype": lfae_dtype,
                 "step_tflop": round(flops / 1e12, 4),
                 "achieved_tflops": round(flops / sec / 1e12, 2),
                 "mfu": round(flops / sec / 1e12 / V5E_PEAK_TFLOPS, 4),
@@ -184,6 +189,10 @@ def main() -> None:
     ap.add_argument("--stage", default="dm", choices=["dm", "lfae", "both"])
     ap.add_argument("--attn-impl", default="pallas2")
     ap.add_argument("--trace", default="", help="xplane trace dir (dm stage)")
+    ap.add_argument(
+        "--lfae-dtype", default="float32", choices=["float32", "bfloat16"],
+        help="frozen pseudo-GT LFAE compute dtype (dm stage)",
+    )
     args = ap.parse_args()
     from cvpr23_lfdm_tpu.utils.profiling import enable_compile_cache
 
@@ -194,7 +203,10 @@ def main() -> None:
         )
     )
     if args.stage in ("dm", "both"):
-        bench_dm(args.attn_impl, trace_dir=args.trace or None)
+        bench_dm(
+            args.attn_impl, trace_dir=args.trace or None,
+            lfae_dtype=args.lfae_dtype,
+        )
     if args.stage in ("lfae", "both"):
         bench_lfae()
 

@@ -13,7 +13,7 @@ import jax
 import numpy as np
 
 from _common import (
-    base_parser, load_text_embedder, resolve_attn_impl,
+    apply_lfae_dtype, base_parser, load_text_embedder, resolve_attn_impl,
     resolve_warp_impl, setup_platform,
 )
 
@@ -56,6 +56,7 @@ def main() -> None:
         ),
         lfae=dataclasses.replace(cfg.lfae, warp_impl=resolve_warp_impl(args)),
     )
+    cfg = apply_lfae_dtype(cfg, args)
     model = FlowDiffusion(cfg.lfae, cfg.diffusion)
     size = cfg.lfae.frame_shape
 

@@ -11,7 +11,9 @@ import os
 
 import jax
 
-from _common import base_parser, resolve_data_root, setup_platform
+from _common import (
+    apply_lfae_dtype, base_parser, resolve_data_root, setup_platform,
+)
 
 
 def main() -> None:
@@ -33,7 +35,7 @@ def main() -> None:
         CheckpointManager, load_lfae_from_torch,
     )
 
-    cfg = PRESETS[args.dataset]()
+    cfg = apply_lfae_dtype(PRESETS[args.dataset](), args)
     root = resolve_data_root(args, cfg.lfae.frame_shape)
 
     if args.lfae_ckpt.endswith(".pth"):

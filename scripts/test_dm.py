@@ -13,8 +13,8 @@ import jax
 import numpy as np
 
 from _common import (
-    base_parser, load_text_embedder, resolve_attn_impl, resolve_data_root,
-    resolve_warp_impl, setup_platform,
+    apply_lfae_dtype, base_parser, load_text_embedder, resolve_attn_impl,
+    resolve_data_root, resolve_warp_impl, setup_platform,
 )
 
 
@@ -71,6 +71,7 @@ def main() -> None:
         ),
         lfae=dataclasses.replace(cfg.lfae, warp_impl=resolve_warp_impl(args)),
     )
+    cfg = apply_lfae_dtype(cfg, args)
     model = FlowDiffusion(cfg.lfae, cfg.diffusion)
     root = resolve_data_root(args, cfg.lfae.frame_shape)
 

@@ -16,8 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from _common import (
-    base_parser, load_text_embedder, resolve_attn_impl, resolve_data_root,
-    setup_platform,
+    apply_lfae_dtype, base_parser, load_text_embedder, resolve_attn_impl,
+    resolve_data_root, setup_platform,
 )
 
 
@@ -52,6 +52,7 @@ def main() -> None:
             cfg.diffusion, temporal_attn_impl=resolve_attn_impl(args, training=True)
         )
     )
+    cfg = apply_lfae_dtype(cfg, args)
     tc = cfg.dm_train
     batch_size = args.batch_size or tc.batch_size
     root = resolve_data_root(args, cfg.lfae.frame_shape)

@@ -12,7 +12,9 @@ import os
 
 import jax
 
-from _common import base_parser, resolve_data_root, setup_platform
+from _common import (
+    apply_lfae_dtype, base_parser, resolve_data_root, setup_platform,
+)
 
 
 def main() -> None:
@@ -35,7 +37,7 @@ def main() -> None:
     from cvpr23_lfdm_tpu.utils.checkpoint import CheckpointManager, load_lfae_from_torch
     from cvpr23_lfdm_tpu.utils.viz import Visualizer, save_image
 
-    cfg = PRESETS[args.dataset]()
+    cfg = apply_lfae_dtype(PRESETS[args.dataset](), args)
     tc = cfg.lfae_train
     batch_size = args.batch_size or tc.batch_size
     root = resolve_data_root(args, cfg.lfae.frame_shape)

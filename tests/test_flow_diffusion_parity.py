@@ -8,6 +8,8 @@ weights shipped through the real torch-checkpoint importer
 (`load_lfae_from_torch`), exactly the production loading path.
 """
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -217,3 +219,29 @@ def test_latent_codec_parity(ref_model, inputs, monkeypatch, use_residual_flow):
     back_grid, back_conf = model.decode_latent(ours)
     np.testing.assert_allclose(np.asarray(back_grid), np.asarray(vid_grid), atol=1e-6)
     np.testing.assert_allclose(np.asarray(back_conf), np.asarray(vid_conf), atol=1e-6)
+
+
+def test_pseudo_ground_truth_bf16_close(lfae_ckpt_path, inputs):
+    """The opt-in bfloat16 pseudo-GT pass (`--lfae-dtype bfloat16`,
+    trades target precision for frozen-LFAE conv throughput) must stay
+    within bf16 rounding of the float32 reference numerics — flows and
+    conf live in [-1, 1], so absolute drift ~1e-2 is the expected bf16
+    envelope, not a silent divergence."""
+    ref_img, real_vid = inputs
+    lfae_f32 = _tiny_lfae_cfg()
+    lfae_bf16 = dataclasses.replace(lfae_f32, compute_dtype="bfloat16")
+    vars_f32 = jax.tree.map(
+        jnp.asarray, load_lfae_from_torch(lfae_ckpt_path, lfae_f32)
+    )
+
+    gt32 = jax.jit(
+        FlowDiffusion(lfae_f32, _tiny_diff_cfg()).pseudo_ground_truth
+    )(vars_f32, jnp.asarray(ref_img), jnp.asarray(real_vid))
+    gt16 = jax.jit(
+        FlowDiffusion(lfae_bf16, _tiny_diff_cfg()).pseudo_ground_truth
+    )(vars_f32, jnp.asarray(ref_img), jnp.asarray(real_vid))
+
+    for key, atol in [("vid_grid", 2e-2), ("vid_conf", 2e-2),
+                      ("ref_fea", 0.15)]:
+        a, b = np.asarray(gt16[key], np.float32), np.asarray(gt32[key])
+        np.testing.assert_allclose(a, b, atol=atol, err_msg=key)
