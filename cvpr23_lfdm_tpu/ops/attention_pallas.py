@@ -782,8 +782,20 @@ def build_bias_flat(
 ) -> jnp.ndarray:
     """Rel-pos bias (+ focus self-only rows) as `[B, F, heads*F]` fp32:
     `out[b, i, g*F + j] = pos_bias[g, i, j]`, or -inf off the frame
-    diagonal for focused batch entries."""
+    diagonal for focused batch entries.
+
+    The bias is pre-shifted so every (head, query-row)'s max is 0: the
+    head-packed kernels subtract one GLOBAL row max across all heads
+    before exp, so a head whose logits sit ~88+ below another head's
+    would underflow its whole segment to zero. Softmax is invariant to a
+    per-(head, row) constant, so this shift is free and exact; it removes
+    the bias-driven part of the cross-head spread entirely (the learned
+    T5 bias levels are unbounded across heads). The residual spread from
+    q.k magnitudes is bounded by scale*|q||k| in practice."""
     heads = pos_bias.shape[0]
+    pos_bias = pos_bias - jax.lax.stop_gradient(
+        jnp.max(pos_bias, axis=-1, keepdims=True)
+    )
     flat = pos_bias.transpose(1, 0, 2).reshape(f, heads * f)  # [i, g*F+j]
     out = jnp.broadcast_to(flat[None].astype(jnp.float32), (batch, f, heads * f))
     if focus_present_mask is not None:

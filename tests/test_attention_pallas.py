@@ -83,6 +83,51 @@ def test_headpacked_attention_focus_mask():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("impl", ["pallas2_interpret", "pallas3_interpret"])
+def test_headpacked_attention_extreme_head_bias_gap(impl):
+    """A head whose bias level sits ~300 below another head's must still
+    produce a valid softmax (the global-row-max trick alone would
+    underflow its whole segment to zero output): build_bias_flat
+    pre-shifts each (head, row) to max 0, which is softmax-invariant."""
+    import functools
+    import flax.linen as nn
+
+    from cvpr23_lfdm_tpu.models.unet3d import PreNormResidual
+
+    heads, dh, dim, f = 2, 8, 16, 5
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, f, 4, 4, dim)), jnp.float32)
+    pos_bias = jnp.asarray(
+        rng.standard_normal((heads, f, f)), jnp.float32
+    ) + jnp.asarray([300.0, 0.0])[:, None, None]
+
+    if impl.startswith("pallas3"):
+
+        class Wrap(nn.Module):
+            impl: str
+
+            @nn.compact
+            def __call__(self, x):
+                return PreNormResidual(
+                    dim, functools.partial(TemporalAttention, impl=self.impl),
+                    heads, dh, name="layer",
+                )(x, pos_bias=pos_bias, focus_present_mask=None)
+
+        m_x, m_p = Wrap("xla"), Wrap(impl)
+        variables = jax.jit(lambda r: m_x.init(r, x))(jax.random.PRNGKey(0))
+        ref, out = m_x.apply(variables, x), m_p.apply(variables, x)
+    else:
+        attn_x = TemporalAttention(dim, heads, dh, impl="xla")
+        variables = jax.jit(lambda r: attn_x.init(r, x, pos_bias))(
+            jax.random.PRNGKey(0)
+        )
+        ref = attn_x.apply(variables, x, pos_bias)
+        out = TemporalAttention(dim, heads, dh, impl=impl).apply(
+            variables, x, pos_bias
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
 def test_pick_pack():
     from cvpr23_lfdm_tpu.ops.attention_pallas import pick_pack
 
