@@ -81,6 +81,25 @@ def main() -> None:
     ref_img = jax.random.uniform(k_img, (1, IMG_SIZE, IMG_SIZE, 3), jnp.float32)
     cond = jax.random.normal(k_cond, (1, cfg.diffusion.cond_dim), jnp.float32)
 
+    # trained-regime weights (scripts/make_bench_ckpt.py): with random
+    # weights the sampled flows are noise and the tiled decode warp's fit
+    # check falls back to the XLA gather — a regime no trained deployment
+    # is in. When the checkpoint exists the headline measures the serving
+    # graph under trained-model flow statistics (same compiled graph —
+    # the fit check picks the branch at runtime).
+    from cvpr23_lfdm_tpu.utils.bench_ckpt import load_bench_ckpt
+
+    weights = "random"
+    loaded = load_bench_ckpt(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "assets", "bench_ckpt"),
+        unet_vars, lfae_vars,
+    )
+    if loaded is not None:
+        unet_vars, lfae_vars, cond_row = loaded
+        cond = jnp.asarray(cond_row)[None]
+        weights = "trained-synthetic"
+
     def sample(unet_vars, lfae_vars, rng, ref_img, cond):
         out = model.sample_video(
             unet_vars, lfae_vars, rng, ref_img, cond, cond_scale=1.0
@@ -198,6 +217,7 @@ def main() -> None:
                 "metric": "sampling_frames_per_sec_per_chip",
                 "value": round(fps, 2),
                 "unit": "frames/s",
+                "weights": weights,
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
                 "vs_h100_ceiling": round(fps / BASELINE_FPS_CEILING, 3),
                 "b1_pipelined_fps": round(pipe_fps, 2),

@@ -1,0 +1,103 @@
+"""Compact trained-regime weights for the serving benchmark.
+
+Random weights make the DM sample NOISE flows, which fail the tiled decode
+warp's window fit check by construction, so the headline bench pays the XLA
+gather floor that no trained deployment pays (BASELINE.md, round-3 serving
+analysis item 3). `scripts/make_bench_ckpt.py` trains the product LFAE and
+DM trainers on the synthetic corpus at the full MUG serving config until
+sampled flows are in the trained regime (window-fitting), then saves the
+two subtrees serving actually reads:
+
+  * the full UNet variables (the sampled flows come from it), and
+  * the LFAE **generator** subtree only — `sample_video` is
+    `compute_fea` + `decode_video_with_flow` (flow_diffusion.py:255-293);
+    the region/bg/pixelwise predictors are training-time-only and stay
+    random in the bench.
+
+Weights are stored float16 (storage only; loaded back at the template's
+dtype — serving keeps fp32 params per repo convention). A conditioning
+vector from the training-time class table rides along so the bench samples
+with an in-distribution cond.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+_UNET = "unet.msgpack"
+_GEN = "generator.msgpack"
+_COND = "cond.npy"
+
+
+def _to_fp16(tree):
+    return jax.tree.map(
+        lambda x: np.asarray(jax.device_get(x)).astype(np.float16), tree
+    )
+
+
+def save_bench_ckpt(directory: str, unet_vars, lfae_vars, cond) -> None:
+    """Write unet (full) + lfae generator subtree + cond vector."""
+    from flax.serialization import msgpack_serialize
+
+    os.makedirs(directory, exist_ok=True)
+    # drop the generator's pixelwise_flow_predictor submodule (37.7 of
+    # 45.5 M params): serving decodes EXTERNAL flows, so `compute_fea` /
+    # `decode_video_with_flow` never apply it (generator.py) — it stays
+    # random at load time like the other training-only predictors
+    gen_sub = {
+        col: {
+            "generator": {
+                k: v
+                for k, v in lfae_vars[col]["generator"].items()
+                if k != "pixelwise_flow_predictor"
+            }
+        }
+        for col in ("params", "batch_stats")
+    }
+    with open(os.path.join(directory, _UNET), "wb") as f:
+        f.write(msgpack_serialize(_to_fp16(jax.device_get(unet_vars))))
+    with open(os.path.join(directory, _GEN), "wb") as f:
+        f.write(msgpack_serialize(_to_fp16(jax.device_get(gen_sub))))
+    np.save(
+        os.path.join(directory, _COND),
+        np.asarray(jax.device_get(cond), np.float32),
+    )
+
+
+def load_bench_ckpt(directory: str, unet_template, lfae_template):
+    """Returns `(unet_vars, lfae_vars, cond)` with the saved weights cast
+    to each template leaf's dtype and the generator subtree grafted into
+    `lfae_template` (other LFAE submodules keep the template's values), or
+    `None` if the directory is absent/incomplete."""
+    paths = {n: os.path.join(directory, n) for n in (_UNET, _GEN, _COND)}
+    if not all(os.path.exists(p) for p in paths.values()):
+        return None
+    from flax.serialization import msgpack_restore
+
+    def read(name):
+        with open(paths[name], "rb") as f:
+            return msgpack_restore(f.read())
+
+    def cast_like(saved, template):
+        return jax.tree.map(
+            lambda s, t: np.asarray(s, dtype=t.dtype).reshape(t.shape),
+            saved,
+            jax.device_get(template),
+        )
+
+    unet_vars = cast_like(read(_UNET), unet_template)
+    gen_sub = read(_GEN)
+    lfae_vars = jax.device_get(lfae_template)
+    lfae_vars = {
+        col: dict(lfae_vars[col]) for col in lfae_vars
+    }
+    for col in ("params", "batch_stats"):
+        tgen = dict(lfae_vars[col]["generator"])
+        for k, saved in gen_sub[col]["generator"].items():
+            tgen[k] = cast_like(saved, tgen[k])
+        lfae_vars[col]["generator"] = tgen  # absent keys keep template
+    cond = np.load(paths[_COND]).astype(np.float32)
+    return unet_vars, lfae_vars, cond

@@ -1,0 +1,209 @@
+"""Train compact trained-regime weights for bench.py (assets/bench_ckpt).
+
+Why: with random weights the DM samples NOISE flows, the tiled decode
+warp's window fit check fails by construction, and the headline serving
+bench pays the XLA gather floor no trained deployment pays (BASELINE.md,
+round-3 serving analysis item 3). This script runs the PRODUCT trainers
+(stage 1 then stage 2 — the reference protocol, LFAE/run_mug.py then
+DM/train_video_flow_diffusion_mug.py) on the synthetic corpus at the full
+MUG serving config, just long enough that sampled flows reach the trained
+regime: smooth, near-identity, window-fitting. Sample quality is
+irrelevant to the bench; only the flow statistics matter, and it reports
+them (`fit_report.json`: per-scale tiled-fit rates + flow displacement
+percentiles over probe videos).
+
+Run on TPU (~10-15 min, dominated by remote compiles):
+
+    python scripts/make_bench_ckpt.py
+
+Writes assets/bench_ckpt/{unet,generator}.msgpack (float16 storage; the
+UNet full, the LFAE generator subtree only — serving reads nothing else,
+flow_diffusion.py:255-293) + cond.npy + fit_report.json. bench.py picks
+the directory up automatically and reports `"weights": "trained-synthetic"`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from _common import base_parser, load_text_embedder, setup_platform
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    p = base_parser("Train trained-regime weights for the serving bench")
+    p.add_argument("--lfae-steps", type=int, default=400)
+    p.add_argument("--dm-steps", type=int, default=400)
+    p.add_argument("--lfae-batch", type=int, default=8)
+    p.add_argument("--dm-batch", type=int, default=4)
+    p.add_argument("--probe-videos", type=int, default=4)
+    p.add_argument("--out", default=os.path.join(REPO, "assets", "bench_ckpt"))
+    args = p.parse_args()
+    args.synthetic = True  # this script is synthetic-corpus by definition
+    setup_platform(args)
+
+    from cvpr23_lfdm_tpu.config import mug_config
+    from cvpr23_lfdm_tpu.data import (
+        ClipAugment, DMVideoDataset, LFAEPairDataset, PrefetchLoader, get_spec,
+    )
+    from cvpr23_lfdm_tpu.data.synthetic import make_synthetic_corpus
+    from cvpr23_lfdm_tpu.diffusion.flow_diffusion import FlowDiffusion
+    from cvpr23_lfdm_tpu.train.dm_trainer import DMTrainer
+    from cvpr23_lfdm_tpu.train.lfae_trainer import LFAETrainer
+    from cvpr23_lfdm_tpu.train.vgg import Vgg19Features
+    from cvpr23_lfdm_tpu.utils.bench_ckpt import save_bench_ckpt
+
+    cfg = mug_config()
+    spec = get_spec("mug")
+
+    root = args.data_root
+    if not root:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="bench_ckpt_corpus_")
+    if not (os.path.isdir(root) and os.listdir(root)):
+        os.makedirs(root, exist_ok=True)
+        # 40-frame videos at the serving resolution so the DM trains on
+        # full-length clips (cfg.diffusion.num_frames == 40)
+        make_synthetic_corpus(
+            root, "mug", num_frames=cfg.diffusion.num_frames,
+            size=cfg.lfae.frame_shape, seed=args.seed,
+            subjects=list(spec.train_subjects[:2]), classes=None, takes=2,
+        )
+    print(f"corpus at {root}")
+
+    # ---------------------------------------------------------- stage 1
+    lfae_ds = LFAEPairDataset(
+        spec, root, "train", frame_shape=cfg.lfae.frame_shape,
+        augment=ClipAugment(), seed=args.seed,
+    )
+    vgg_vars = jax.jit(
+        lambda r: Vgg19Features().init(
+            r, jnp.zeros((1, cfg.lfae.frame_shape, cfg.lfae.frame_shape, 3))
+        )
+    )(jax.random.PRNGKey(0))
+    lfae_trainer = LFAETrainer(cfg, steps_per_epoch=10_000, vgg_vars=vgg_vars)
+    rng = jax.random.PRNGKey(args.seed)
+    state = lfae_trainer.init_state(rng)
+    loader = PrefetchLoader(
+        lfae_ds, args.lfae_batch, num_workers=6, seed=args.seed
+    )
+    state = lfae_trainer.fit(
+        state, iter(loader), args.lfae_steps, rng, log_every=50
+    )
+    lfae_vars = jax.device_get(
+        {"params": state.params, "batch_stats": state.batch_stats}
+    )
+    del loader
+
+    # ---------------------------------------------------------- stage 2
+    embedder = load_text_embedder("mug", allow_random=True)
+    dm_ds = DMVideoDataset(
+        spec, root, "train", num_frames=cfg.diffusion.num_frames,
+        image_size=cfg.lfae.frame_shape,
+        sampling=cfg.dm_train.frame_sampling, seed=args.seed,
+    )
+    dm_trainer = DMTrainer(cfg, steps_per_epoch=10_000, lfae_vars=lfae_vars)
+    dm_trainer.place_lfae()
+    dm_state = dm_trainer.init_state(jax.random.PRNGKey(args.seed + 1))
+    dm_loader = PrefetchLoader(
+        dm_ds, args.dm_batch, num_workers=8, seed=args.seed
+    )
+
+    def batches():
+        for batch in dm_loader:
+            cond, none_mask = embedder(batch["text"])
+            yield {
+                "ref_img": batch["video"][:, 0],
+                "real_vid": batch["video"],
+                "cond": cond,
+                "none_cond_mask": none_mask,
+            }
+
+    dm_state = dm_trainer.fit(
+        dm_state, batches(), args.dm_steps, jax.random.PRNGKey(args.seed + 2),
+        log_every=50,
+    )
+    unet_vars = jax.device_get(dm_state.unet_vars)
+
+    # ----------------------------------------------------- fit probe
+    # sample with the XLA warp (no fit dependence), then evaluate the
+    # tiled kernel's window fit flag at every decode scale the generator
+    # warps at (32 always fits; 64/128 are the binding checks)
+    from cvpr23_lfdm_tpu.ops.resize import resize_bilinear
+    from cvpr23_lfdm_tpu.ops.warp_pallas import tiled_fit
+
+    probe_cfg = cfg.replace(
+        lfae=dataclasses.replace(cfg.lfae, warp_impl="xla"),
+        diffusion=dataclasses.replace(cfg.diffusion, sampling_timesteps=10),
+    )
+    model = FlowDiffusion(probe_cfg.lfae, probe_cfg.diffusion)
+    cond_vec, _ = embedder([spec.classes[0]])
+    s = cfg.lfae.frame_shape
+
+    def probe(uv, lv, rng, ref, cond):
+        out = model.sample_video(uv, lv, rng, ref, cond, cond_scale=1.0)
+        g = out["vid_grid"]  # [B, F, 32, 32, 2] in [-1, 1]
+        b, f, gh, gw, _ = g.shape
+        fits, disp = {}, {}
+        for res in (32, 64, 128):
+            gr = g
+            if res != gh:
+                gr = resize_bilinear(
+                    g.reshape(b * f, gh, gw, 2), (res, res)
+                ).reshape(b, f, res, res, 2)
+            fits[res] = tiled_fit(jnp.zeros((b, res, res, 1)), gr)
+            lin = jnp.linspace(-1.0, 1.0, res)
+            ident = jnp.stack(jnp.meshgrid(lin, lin, indexing="xy"), -1)
+            disp[res] = jnp.percentile(
+                jnp.abs(gr - ident[None, None]) * (res / 2.0), 99.0
+            )
+        return fits, disp
+
+    jprobe = jax.jit(probe)
+    item0 = dm_ds[0]
+    ref = jnp.asarray(item0["video"][None, 0])
+    fit_counts = {32: 0, 64: 0, 128: 0}
+    disp_p99 = []
+    for i in range(args.probe_videos):
+        fits, disp = jax.device_get(
+            jprobe(
+                unet_vars, lfae_vars, jax.random.PRNGKey(1000 + i),
+                ref, jnp.asarray(cond_vec),
+            )
+        )
+        for r in fit_counts:
+            fit_counts[r] += int(fits[r])
+        disp_p99.append({str(r): float(v) for r, v in disp.items()})
+        print(f"probe {i}: fits={ {r: bool(fits[r]) for r in fits} } "
+              f"disp_p99(px)={ {r: round(float(disp[r]), 2) for r in disp} }")
+
+    report = {
+        "probe_videos": args.probe_videos,
+        "fit_rate": {str(r): fit_counts[r] / args.probe_videos for r in fit_counts},
+        "disp_p99_px": disp_p99,
+        "lfae_steps": args.lfae_steps,
+        "dm_steps": args.dm_steps,
+        "provenance": "product trainers on synthetic MUG-layout corpus, "
+        f"seed {args.seed}; see scripts/make_bench_ckpt.py",
+    }
+
+    save_bench_ckpt(args.out, unet_vars, lfae_vars, np.asarray(cond_vec)[0])
+    with open(os.path.join(args.out, "fit_report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report["fit_rate"]))
+    print(f"saved {args.out}")
+    if min(report["fit_rate"].values()) < 1.0:
+        print("WARNING: sampled flows do not always fit the tiled window; "
+              "increase --dm-steps / --lfae-steps")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""bench_ckpt: fp16 save / template-cast load / generator-subtree graft."""
+
+import numpy as np
+
+
+def _tree(rng, scale=1.0):
+    return {
+        "params": {
+            "generator": {
+                "w": rng.standard_normal((3, 4)).astype(np.float32) * scale,
+                "pixelwise_flow_predictor": {
+                    "w": rng.standard_normal((6,)).astype(np.float32)
+                },
+            },
+            "region_predictor": {"w": rng.standard_normal((2,)).astype(np.float32)},
+            "bg_predictor": {"w": rng.standard_normal((2,)).astype(np.float32)},
+        },
+        "batch_stats": {
+            "generator": {
+                "m": rng.standard_normal((4,)).astype(np.float32),
+                "pixelwise_flow_predictor": {"m": np.zeros((6,), np.float32)},
+            },
+            "region_predictor": {"m": np.zeros((2,), np.float32)},
+            "bg_predictor": {"m": np.zeros((2,), np.float32)},
+        },
+    }
+
+
+def test_bench_ckpt_roundtrip_and_graft(tmp_path):
+    from cvpr23_lfdm_tpu.utils.bench_ckpt import load_bench_ckpt, save_bench_ckpt
+
+    rng = np.random.default_rng(0)
+    lfae = _tree(rng)
+    unet = {"params": {"conv": {"k": rng.standard_normal((5, 5)).astype(np.float32)}}}
+    cond = rng.standard_normal((768,)).astype(np.float32)
+    d = str(tmp_path / "ck")
+
+    assert load_bench_ckpt(d, unet, lfae) is None  # absent -> None
+
+    save_bench_ckpt(d, unet, lfae, cond)
+    lfae_tmpl = _tree(np.random.default_rng(1))  # different values
+    unet_tmpl = {"params": {"conv": {"k": np.zeros((5, 5), np.float32)}}}
+    got = load_bench_ckpt(d, unet_tmpl, lfae_tmpl)
+    assert got is not None
+    unet2, lfae2, cond2 = got
+
+    # fp16 storage round-trip at template dtype
+    assert unet2["params"]["conv"]["k"].dtype == np.float32
+    np.testing.assert_allclose(
+        unet2["params"]["conv"]["k"], unet["params"]["conv"]["k"], atol=2e-3
+    )
+    np.testing.assert_allclose(cond2, cond)  # cond stays fp32 exact
+    # generator grafted from the checkpoint ...
+    np.testing.assert_allclose(
+        lfae2["params"]["generator"]["w"], lfae["params"]["generator"]["w"],
+        atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        lfae2["batch_stats"]["generator"]["m"],
+        lfae["batch_stats"]["generator"]["m"], atol=2e-3,
+    )
+    # ... while the training-only submodules keep the template's values
+    np.testing.assert_array_equal(
+        lfae2["params"]["region_predictor"]["w"],
+        lfae_tmpl["params"]["region_predictor"]["w"],
+    )
+    # the flow predictor inside the generator is pruned from the save and
+    # keeps the template too (serving decodes external flows)
+    np.testing.assert_array_equal(
+        lfae2["params"]["generator"]["pixelwise_flow_predictor"]["w"],
+        lfae_tmpl["params"]["generator"]["pixelwise_flow_predictor"]["w"],
+    )
+
+    # incomplete directory -> None
+    import os
+
+    os.remove(os.path.join(d, "cond.npy"))
+    assert load_bench_ckpt(d, unet_tmpl, lfae_tmpl) is None
