@@ -139,6 +139,7 @@ class DMVideoDataset:
             "video": clip.astype(np.float32),
             "text": e.class_name,
             "name": e.name,
+            "subject": e.subject,  # cFVD/sFVD grouping key (eval/metrics.py)
         }
 
 

@@ -119,15 +119,23 @@ class InceptionI3d(nn.Module):
                 x = _max_pool_same(x, (3, 3, 3), (2, 2, 2))
             elif name == "Mixed_4f":
                 x = _max_pool_same(x, (2, 2, 2), (2, 2, 2))
-        # global avg pool over (T', H', W') — the torch net's fixed
-        # [2, 7, 7] window equals full extent at 224² input; averaging the
-        # whole extent keeps smaller eval resolutions valid too
-        x = x.mean(axis=(1, 2, 3), keepdims=True)  # [B,1,1,1,C]
+        # pytorch_i3d head: AvgPool3d((2,7,7), stride 1) -> 1x1x1 logits
+        # conv per temporal step -> mean over steps. The 7x7 spatial window
+        # is the full extent at the published 224² input (the extractor
+        # always resizes there); a global spatial mean reproduces it exactly
+        # and stays valid at smaller test resolutions. The temporal sliding
+        # window-2 mean is reproduced literally: relative to a global
+        # temporal mean it HALF-WEIGHTS the endpoint steps whenever T' > 2
+        # (e.g. this repo's 40-frame eval: T' = 5) — required for FVD
+        # numbers on the published scale.
+        x = x.mean(axis=(2, 3), keepdims=True)  # [B, T', 1, 1, C]
+        if x.shape[1] > 1:
+            x = (x[:, :-1] + x[:, 1:]) * 0.5  # [B, T'-1, 1, 1, C]
         x = Unit3D(
             self.num_classes, use_bn=False, use_relu=False, use_bias=True,
             name="logits",
         )(x)
-        return x.reshape(x.shape[0], self.num_classes)
+        return x.mean(axis=(1, 2, 3))  # time-mean of per-step logits
 
 
 def convert_i3d_checkpoint(sd: dict) -> dict:

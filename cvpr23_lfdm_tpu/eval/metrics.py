@@ -116,7 +116,11 @@ def frechet_distance(
     import scipy.linalg
 
     diff = mu1 - mu2
-    covmean, _ = scipy.linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    # scipy <1.17 returns (X, errest) with disp=False; 1.17 deprecates
+    # `disp` and returns X alone on some inputs — accept both
+    covmean = scipy.linalg.sqrtm(sigma1 @ sigma2)
+    if isinstance(covmean, tuple):
+        covmean = covmean[0]
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(sigma1 + sigma2 - 2.0 * covmean))
@@ -125,8 +129,31 @@ def frechet_distance(
 def feature_statistics(feats: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     feats = np.asarray(feats, np.float64)
     mu = feats.mean(0)
+    # n=1 has no sample covariance; use zeros (a point mass) instead of
+    # np.cov's NaNs so degenerate eval groups yield a finite distance
+    if feats.shape[0] < 2:
+        return mu, np.zeros((feats.shape[1], feats.shape[1]))
     sigma = np.cov(feats, rowvar=False)
     return mu, np.atleast_2d(sigma)
+
+
+def extract_features(
+    extractor: Callable, videos, batch_size: int = 8
+) -> np.ndarray:
+    """Run a `[B, F, H, W, 3] -> [B, D]` extractor over a video set in
+    fixed-size batches (one XLA program; the ragged tail pads by repetition
+    and crops, keeping shapes static)."""
+    n = len(videos)
+    outs = []
+    for i in range(0, n, batch_size):
+        chunk = np.asarray(videos[i : i + batch_size])
+        take = len(chunk)
+        if take < batch_size:  # pad to the compiled batch shape
+            reps = np.concatenate([chunk] * -(-batch_size // take))[:batch_size]
+            outs.append(np.asarray(extractor(jnp.asarray(reps)))[:take])
+        else:
+            outs.append(np.asarray(extractor(jnp.asarray(chunk))))
+    return np.concatenate(outs)
 
 
 @dataclasses.dataclass
@@ -141,17 +168,50 @@ class FVD:
     extractor: Callable
 
     def __call__(self, real_videos, fake_videos, batch_size: int = 8) -> float:
-        def run(videos):
-            outs = []
-            for i in range(0, len(videos), batch_size):
-                outs.append(
-                    np.asarray(self.extractor(jnp.asarray(videos[i : i + batch_size])))
-                )
-            return np.concatenate(outs)
-
-        mu_r, s_r = feature_statistics(run(real_videos))
-        mu_f, s_f = feature_statistics(run(fake_videos))
+        mu_r, s_r = feature_statistics(
+            extract_features(self.extractor, real_videos, batch_size)
+        )
+        mu_f, s_f = feature_statistics(
+            extract_features(self.extractor, fake_videos, batch_size)
+        )
         return frechet_distance(mu_r, s_r, mu_f, s_f)
+
+    def grouped(
+        self,
+        real_videos,
+        fake_videos,
+        real_groups,
+        fake_groups,
+        batch_size: int = 8,
+    ) -> tuple[float, dict[str, float]]:
+        """Condition-grouped FVD — the paper's cFVD/sFVD protocol
+        (arXiv:2303.13744 Tables 1-3): partition both sets by a condition
+        label (class text -> cFVD, subject id -> sFVD), compute the Fréchet
+        distance within each condition, and average over conditions. A
+        generator that matches the marginal distribution but scrambles the
+        conditioning scores ~0 on plain FVD yet large here.
+
+        Features are extracted ONCE per set and sliced per group. Groups
+        present in only one set are skipped (reported as NaN per-group).
+        Returns `(mean over valid groups, {group: value})`."""
+        fr = extract_features(self.extractor, real_videos, batch_size)
+        ff = extract_features(self.extractor, fake_videos, batch_size)
+        real_groups = [str(g) for g in real_groups]
+        fake_groups = [str(g) for g in fake_groups]
+        if len(real_groups) != len(fr) or len(fake_groups) != len(ff):
+            raise ValueError("one group label per video required")
+        per: dict[str, float] = {}
+        for g in sorted(set(real_groups) | set(fake_groups)):
+            ri = [i for i, x in enumerate(real_groups) if x == g]
+            fi = [i for i, x in enumerate(fake_groups) if x == g]
+            if not ri or not fi:
+                per[g] = float("nan")
+                continue
+            mu_r, s_r = feature_statistics(fr[ri])
+            mu_f, s_f = feature_statistics(ff[fi])
+            per[g] = frechet_distance(mu_r, s_r, mu_f, s_f)
+        valid = [v for v in per.values() if np.isfinite(v)]
+        return float(np.mean(valid)) if valid else float("nan"), per
 
 
 def vgg_video_extractor(vgg_apply: Callable, layer: int = 3) -> Callable:

@@ -149,6 +149,7 @@ def main() -> None:
     rng = jax.random.PRNGKey(args.seed)
     rec_losses, warp_losses, psnrs, ssims = [], [], [], []
     lpips_vals, real_set, fake_set = [], [], []
+    classes, subjects = [], []  # grouping keys for cFVD / sFVD
     n = min(args.num_videos, len(dataset))
     for i in range(n):
         item = dataset[i]
@@ -171,6 +172,8 @@ def main() -> None:
         if fvd_extract is not None:
             real_set.append(np.asarray(item["video"]))
             fake_set.append(np.asarray(out["out_vid"][0]))
+            classes.append(item["text"])
+            subjects.append(item["subject"])
         print(
             f"[{i + 1}/{n}] {item['name']}: loss {float(loss):.4f} "
             f"rec {rec_losses[-1]:.4f} warp {warp_losses[-1]:.4f} "
@@ -193,7 +196,13 @@ def main() -> None:
         from cvpr23_lfdm_tpu.eval.metrics import FVD
 
         fvd = FVD(fvd_extract)
-        line += f" fvd {float(fvd(np.stack(real_set), np.stack(fake_set))):.2f}"
+        real_arr, fake_arr = np.stack(real_set), np.stack(fake_set)
+        line += f" fvd {float(fvd(real_arr, fake_arr)):.2f}"
+        # the paper's conditional variants (arXiv:2303.13744): FVD within
+        # each class (cFVD) / each subject (sFVD), averaged over conditions
+        cfvd, _ = fvd.grouped(real_arr, fake_arr, classes, classes)
+        sfvd, _ = fvd.grouped(real_arr, fake_arr, subjects, subjects)
+        line += f" cfvd {cfvd:.2f} sfvd {sfvd:.2f}"
     print(line)
 
 

@@ -57,6 +57,82 @@ def test_fvd_separates_distributions():
     assert fvd(real, same) < fvd(real, shifted)
 
 
+def _meanstd_extractor(videos):
+    v = np.asarray(videos)
+    return jnp.asarray(
+        np.stack([v.mean((1, 2, 3, 4)), v.std((1, 2, 3, 4))], axis=1)
+    )
+
+
+def test_extract_features_ragged_tail_matches_oneshot():
+    from cvpr23_lfdm_tpu.eval.metrics import extract_features
+
+    rng = np.random.default_rng(1)
+    vids = rng.random((11, 4, 8, 8, 3)).astype(np.float32)
+    ref = np.asarray(_meanstd_extractor(vids))
+    out = extract_features(_meanstd_extractor, vids, batch_size=4)
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+
+def test_grouped_fvd_detects_condition_swap():
+    """cFVD/sFVD protocol (arXiv:2303.13744): a fake set whose MARGINAL
+    matches real but whose per-condition distributions are swapped must
+    score near zero on plain FVD and large on grouped FVD."""
+    from cvpr23_lfdm_tpu.eval.metrics import FVD
+
+    rng = np.random.default_rng(2)
+    n = 24
+    lo = (0.2 + 0.02 * rng.standard_normal((n, 4, 8, 8, 3))).astype(np.float32)
+    hi = (0.8 + 0.02 * rng.standard_normal((n, 4, 8, 8, 3))).astype(np.float32)
+    lo2 = (0.2 + 0.02 * rng.standard_normal((n, 4, 8, 8, 3))).astype(np.float32)
+    hi2 = (0.8 + 0.02 * rng.standard_normal((n, 4, 8, 8, 3))).astype(np.float32)
+    real = np.concatenate([lo, hi])
+    fake_swapped = np.concatenate([hi2, lo2])  # same mixture, wrong condition
+    groups = ["a"] * n + ["b"] * n
+
+    fvd = FVD(_meanstd_extractor)
+    plain = fvd(real, fake_swapped)
+    grouped_mean, per = fvd.grouped(real, fake_swapped, groups, groups)
+    assert set(per) == {"a", "b"}
+    assert grouped_mean > 10 * max(plain, 1e-6)
+    # matched conditioning scores ~0 grouped
+    ok_mean, _ = fvd.grouped(
+        real, np.concatenate([lo2, hi2]), groups, groups
+    )
+    assert ok_mean < 0.1 * grouped_mean
+
+
+def test_grouped_fvd_single_group_equals_plain():
+    from cvpr23_lfdm_tpu.eval.metrics import FVD
+
+    rng = np.random.default_rng(3)
+    real = rng.random((12, 4, 8, 8, 3)).astype(np.float32)
+    fake = rng.random((12, 4, 8, 8, 3)).astype(np.float32)
+    fvd = FVD(_meanstd_extractor)
+    mean, per = fvd.grouped(real, fake, ["x"] * 12, ["x"] * 12)
+    np.testing.assert_allclose(mean, fvd(real, fake), rtol=1e-6)
+    # a group present in only one set is NaN and excluded from the mean
+    mean2, per2 = fvd.grouped(
+        real, fake, ["x"] * 12, ["x"] * 11 + ["y"]
+    )
+    assert np.isnan(per2["y"]) and np.isfinite(mean2)
+
+
+def test_grouped_fvd_singleton_groups_finite():
+    """1-video groups have no sample covariance; point-mass stats keep the
+    distance finite (mean-distance term only) instead of NaN (scipy 1.17
+    sqrtm also changed its return convention on such inputs)."""
+    from cvpr23_lfdm_tpu.eval.metrics import FVD
+
+    rng = np.random.default_rng(4)
+    real = rng.random((2, 4, 8, 8, 3)).astype(np.float32)
+    fake = rng.random((2, 4, 8, 8, 3)).astype(np.float32)
+    fvd = FVD(_meanstd_extractor)
+    mean, per = fvd.grouped(real, fake, ["a", "b"], ["a", "b"])
+    assert np.isfinite(mean) and set(per) == {"a", "b"}
+    assert all(np.isfinite(v) and v >= 0 for v in per.values())
+
+
 def test_lpips_zero_on_identity_and_positive():
     from cvpr23_lfdm_tpu.eval.metrics import lpips_distance
     from cvpr23_lfdm_tpu.train.vgg import Vgg19Features
@@ -179,7 +255,8 @@ def _torch_maxpool_same(x, k, s):
 
 def _torch_i3d(x, sd):
     """Oracle: pytorch_i3d InceptionI3d forward (eval mode) in functional
-    torch, global-extent average pool before the logits conv."""
+    torch — AvgPool3d((2, full, full), stride 1), per-step logits conv,
+    mean over temporal steps (pytorch_i3d InceptionI3d.forward)."""
     import torch
 
     from cvpr23_lfdm_tpu.eval.i3d import _MIXED
@@ -201,9 +278,14 @@ def _torch_i3d(x, sd):
             x = _torch_maxpool_same(x, (3, 3, 3), (2, 2, 2))
         elif name == "Mixed_4f":
             x = _torch_maxpool_same(x, (2, 2, 2), (2, 2, 2))
-    x = x.mean(dim=(2, 3, 4), keepdim=True)
+    import torch.nn.functional as F
+
+    if x.shape[2] > 1:
+        x = F.avg_pool3d(x, (2, x.shape[3], x.shape[4]), stride=1)
+    else:
+        x = x.mean(dim=(2, 3, 4), keepdim=True)
     x = _torch_unit3d(x, sd, "logits", bn=False, relu=False)
-    return x.reshape(x.shape[0], -1)
+    return x.mean(dim=2).reshape(x.shape[0], -1)
 
 
 def test_i3d_matches_torch_oracle():
