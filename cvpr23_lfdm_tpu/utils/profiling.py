@@ -17,17 +17,42 @@ import jax
 import jax.numpy as jnp
 
 
+def _host_fingerprint() -> str:
+    """Hash of the CPU feature set (ISA flags), so an XLA:CPU AOT blob is
+    only ever reloaded on a machine that can execute it. Round-3 incident:
+    a cache written on an AMX/AVX512 driver host was loaded on a plain
+    AVX2 host — XLA warns this "could lead to execution errors such as
+    SIGILL" (MULTICHIP_r03.json tail)."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    key = f"{platform.machine()}|{flags}"
+    return hashlib.sha256(key.encode()).hexdigest()[:12]
+
+
 def enable_compile_cache(cache_dir: str) -> None:
     """Persistent XLA compilation cache; safe no-op when unsupported, the
     directory is not writable (e.g. read-only checkouts), or the backend
     is the tunneled TPU — serializing the large sampler executable through
     the axon tunnel wedges compiles for tens of minutes (and remote
-    compiles never hit the cache anyway, see CLAUDE.md)."""
+    compiles never hit the cache anyway, see CLAUDE.md). CPU caches are
+    keyed by a host CPU-feature fingerprint: AOT code is machine-specific
+    and a cross-machine hit can SIGILL."""
     import os
 
     try:
         if jax.default_backend() != "cpu":
             return
+        cache_dir = os.path.join(cache_dir, f"cpu-{_host_fingerprint()}")
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
