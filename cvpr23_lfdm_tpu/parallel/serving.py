@@ -1,0 +1,139 @@
+"""Multi-chip data-parallel serving of the full sampling pipeline.
+
+The reference never shards serving: even its multi-GPU trainer samples on
+a single device (DM/train_video_flow_diffusion_mhad_multiGPU.py:357 uses
+`model.module...` to bypass DataParallel for `sample_one_video`). Here the
+whole `sample_video` graph (encoder -> DDIM scan -> frame-batched decode)
+is jitted once over a `data` mesh with the request batch sharded across
+devices and the weights replicated; GSPMD emits the ICI collectives. The
+output matches the single-device graph to ulp-level tolerance: threefry
+bits are a pure function of key+shape (sharding-independent) and the
+forward has no cross-batch collectives, but XLA fuses the per-device
+batch-1 program differently than the batch-N one, giving ~1e-5 fp32
+reduction-order drift (`tests/test_serving_mesh.py`).
+
+Used by `scripts/demo.py --mesh dp=N` and `scripts/test_dm.py --mesh dp=N`
+(the product multi-chip serving mode) and by `__graft_entry__.py`'s
+serving dryrun leg.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cvpr23_lfdm_tpu.parallel.mesh import make_mesh
+
+
+def parse_mesh_spec(spec: str) -> dict[str, int]:
+    """Parse a `--mesh` CLI value like `"dp=8"` or `"dp=4,tp=2"` into an
+    ordered {axis: size} dict. Empty string -> {} (single device)."""
+    out: dict[str, int] = {}
+    if not spec:
+        return out
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        k = k.strip()
+        if k not in ("dp", "tp", "sp"):
+            raise ValueError(f"unknown mesh axis {k!r} in --mesh {spec!r}")
+        out[k] = int(v)
+    return out
+
+
+def serving_mesh(spec: str):
+    """Build the serving mesh for a `--mesh` spec. Only `dp` is meaningful
+    for serving today (`sample_video` is data-parallel over requests);
+    tp/sp specs raise so the user is not silently under-sharded."""
+    axes = parse_mesh_spec(spec)
+    if not axes:
+        return None
+    if set(axes) != {"dp"}:
+        raise ValueError(
+            f"serving supports --mesh dp=N only (got {spec!r}); tensor/"
+            "sequence parallel serving is not wired into the CLI"
+        )
+    n = axes["dp"]
+    if n > len(jax.devices()):
+        raise ValueError(
+            f"--mesh dp={n} but only {len(jax.devices())} devices visible"
+        )
+    return make_mesh((n,), ("data",))
+
+
+def sample_video_sharded(
+    model,
+    mesh,
+    unet_vars: dict,
+    lfae_vars: dict,
+    rng: jax.Array,
+    ref_imgs: jnp.ndarray,
+    conds: jnp.ndarray,
+    cond_scale: float = 1.0,
+) -> dict:
+    """Data-parallel `FlowDiffusion.sample_video` over `mesh`.
+
+    `ref_imgs [B, H, W, 3]` / `conds [B, cond_dim]` are padded (edge-repeat)
+    to a multiple of the mesh's device count, sharded over the `data` axis,
+    and sampled in ONE jitted dispatch; pad rows are stripped from every
+    output. Weights and the rng key are replicated.
+    """
+    b = ref_imgs.shape[0]
+    n = mesh.devices.size
+    pad = (-b) % n
+    if pad:
+        ref_imgs = jnp.concatenate(
+            [ref_imgs, jnp.repeat(ref_imgs[-1:], pad, axis=0)], axis=0
+        )
+        conds = jnp.concatenate(
+            [conds, jnp.repeat(conds[-1:], pad, axis=0)], axis=0
+        )
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    unet_vars = jax.device_put(unet_vars, repl)
+    lfae_vars = jax.device_put(lfae_vars, repl)
+    rng = jax.device_put(rng, repl)
+    ref_imgs = jax.device_put(ref_imgs, data)
+    conds = jax.device_put(conds, data)
+
+    @jax.jit
+    def sharded(uv, lv, k, ref, cond):
+        return model.sample_video(uv, lv, k, ref, cond, cond_scale)
+
+    out = sharded(unet_vars, lfae_vars, rng, ref_imgs, conds)
+    if pad:
+        out = {k: v[:b] for k, v in out.items()}
+    return out
+
+
+def demo_asset_path(dataset: str) -> str:
+    """Bundled reference image for the argument-free demo (the reference
+    ships demo/mug_examples/*.png; ours are synthetic, assets/demo/)."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)
+    )))
+    return os.path.join(repo, "assets", "demo", f"{dataset}_example.png")
+
+
+def make_demo_assets(out_dir: str, size: int = 128, seed: int = 0) -> list[str]:
+    """Write one synthetic example image per dataset (demo default inputs)."""
+    import os
+
+    from cvpr23_lfdm_tpu.data.synthetic import _blob_video
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    colors = {"mug": (0.9, 0.6, 0.4), "mhad": (0.4, 0.7, 0.9),
+              "natops": (0.5, 0.9, 0.5)}
+    for ds, color in colors.items():
+        frame = _blob_video(np.random.default_rng(seed), 1, size, color)[0]
+        path = os.path.join(out_dir, f"{ds}_example.png")
+        from PIL import Image
+
+        Image.fromarray(frame.astype(np.uint8)).save(path)
+        paths.append(path)
+    return paths

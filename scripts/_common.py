@@ -68,6 +68,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     )
     p.add_argument("--num-processes", type=int, default=0,
                    help="multi-host: total process count (0 = single)")
+    p.add_argument(
+        "--mesh", default="",
+        help="multi-chip serving mesh, e.g. 'dp=8': shard the request "
+        "batch over a data mesh and sample in one jitted dispatch "
+        "(ulp-identical to single-device; parallel/serving.py). Empty = "
+        "single device.",
+    )
     p.add_argument("--process-id", type=int, default=-1,
                    help="multi-host: this process's id (with --coordinator)")
     return p

@@ -60,14 +60,28 @@ def main() -> None:
     model = FlowDiffusion(cfg.lfae, cfg.diffusion)
     size = cfg.lfae.frame_shape
 
+    # smoke mode (no checkpoints given): prefer the committed trained-regime
+    # bench checkpoint (assets/bench_ckpt, MUG config) over random weights,
+    # and accept the deterministic random class-text table — conditioning
+    # parity with the reference is meaningless without reference weights.
+    smoke = not (args.lfae_ckpt or args.dm_ckpt)
+    bench_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "bench_ckpt",
+    )
+    use_bench_ckpt = smoke and args.dataset == "mug" and os.path.isdir(bench_dir)
+    if smoke:
+        args.allow_random_text = True
+
     if args.lfae_ckpt.endswith(".pth"):
         lfae_vars = load_lfae_from_torch(args.lfae_ckpt, cfg.lfae)
     elif args.lfae_ckpt:
         state = CheckpointManager(args.lfae_ckpt).restore(None)
         lfae_vars = {"params": state["params"], "batch_stats": state["batch_stats"]}
     else:
-        print("warning: no --lfae-ckpt; RANDOM stage-1 weights (smoke mode)")
         lfae_vars = init_lfae_vars(jax.random.PRNGKey(0), cfg.lfae)
+        if not use_bench_ckpt:
+            print("warning: no --lfae-ckpt; RANDOM stage-1 weights (smoke mode)")
 
     if args.dm_ckpt.endswith(".pth"):
         unet_vars = load_unet_from_torch(args.dm_ckpt, cfg.diffusion.use_deconv)
@@ -75,9 +89,27 @@ def main() -> None:
         state = CheckpointManager(args.dm_ckpt).restore(None)
         unet_vars = state["unet_vars"]
     else:
-        print("warning: no --dm-ckpt; RANDOM UNet weights (smoke mode)")
         unet_vars = model.init_unet_vars(jax.random.PRNGKey(1))
+        if not use_bench_ckpt:
+            print("warning: no --dm-ckpt; RANDOM UNet weights (smoke mode)")
 
+    if use_bench_ckpt:
+        from cvpr23_lfdm_tpu.utils.bench_ckpt import load_bench_ckpt
+
+        loaded = load_bench_ckpt(bench_dir, unet_vars, lfae_vars)
+        if loaded is not None:
+            unet_vars, lfae_vars, _ = loaded
+            print(f"smoke mode: trained-synthetic weights from {bench_dir}")
+
+    if not args.ref_image:
+        # bundled example (the reference ships demo/mug_examples/*.png and
+        # runs argument-free, demo_mug.py:110-146)
+        from cvpr23_lfdm_tpu.parallel.serving import demo_asset_path
+
+        bundled = demo_asset_path(args.dataset)
+        if os.path.exists(bundled):
+            args.ref_image = bundled
+            print(f"using bundled example image {bundled}")
     if args.ref_image:
         img = pad_resize(read_image(args.ref_image), size).astype(np.float32) / 255.0
         img = img - np.asarray(args.mean, np.float32) / 255.0
@@ -95,32 +127,22 @@ def main() -> None:
     embedder = load_text_embedder(args)
     classes = args.classes or list(embedder.classes)
 
-    @jax.jit
-    def sample(unet_vars, lfae_vars, rng, ref_img, cond):
-        return model.sample_video(
-            unet_vars, lfae_vars, rng, ref_img, cond, args.cond_scale
-        )
-
     out_dir = os.path.join(args.log_dir, "demo")
     os.makedirs(out_dir, exist_ok=True)
     h = cfg.diffusion.img_size
     id_grid = np.asarray(make_coordinate_grid((h, h)))
 
-    rng = jax.random.PRNGKey(args.seed)
-    for text in classes:
-        cond, _ = embedder([text])
-        rng, srng = jax.random.split(rng)
-        out = jax.device_get(sample(unet_vars, lfae_vars, srng, ref_img, jnp.asarray(cond)))
+    def write_gif(text: str, out, bi: int) -> None:
         frames = []
         for fi in range(out["out_vid"].shape[1]):
             row = np.concatenate(
                 [
                     to_uint8(img),
-                    to_uint8(out["out_vid"][0, fi]),
-                    to_uint8(out["warped_vid"][0, fi]),
-                    flow2fig(out["vid_grid"][0, fi], id_grid, size),
+                    to_uint8(out["out_vid"][bi, fi]),
+                    to_uint8(out["warped_vid"][bi, fi]),
+                    flow2fig(out["vid_grid"][bi, fi], id_grid, size),
                     np.repeat(
-                        conf2fig(out["vid_conf"][0, fi], size)[..., None], 3, -1
+                        conf2fig(out["vid_conf"][bi, fi], size)[..., None], 3, -1
                     ),
                 ],
                 axis=1,
@@ -129,6 +151,41 @@ def main() -> None:
         name = text.replace(" ", "_").replace("(", "").replace(")", "")
         save_gif(os.path.join(out_dir, f"{name}.gif"), np.stack(frames))
         print(f"sampled {text!r} -> {out_dir}/{name}.gif")
+
+    rng = jax.random.PRNGKey(args.seed)
+    if args.mesh:
+        # multi-chip serving: ALL classes in one dispatch, the request batch
+        # sharded over the data mesh (parallel/serving.py; the reference's
+        # multiGPU path never sharded sampling, ..._mhad_multiGPU.py:357)
+        from cvpr23_lfdm_tpu.parallel.serving import (
+            sample_video_sharded, serving_mesh,
+        )
+
+        mesh = serving_mesh(args.mesh)
+        conds, _ = embedder(classes)
+        refs = jnp.broadcast_to(ref_img, (len(classes),) + ref_img.shape[1:])
+        out = jax.device_get(
+            sample_video_sharded(
+                model, mesh, unet_vars, lfae_vars, rng, refs,
+                jnp.asarray(conds), args.cond_scale,
+            )
+        )
+        print(f"sampled {len(classes)} classes on mesh {args.mesh}")
+        for bi, text in enumerate(classes):
+            write_gif(text, out, bi)
+        return
+
+    @jax.jit
+    def sample(unet_vars, lfae_vars, rng, ref_img, cond):
+        return model.sample_video(
+            unet_vars, lfae_vars, rng, ref_img, cond, args.cond_scale
+        )
+
+    for text in classes:
+        cond, _ = embedder([text])
+        rng, srng = jax.random.split(rng)
+        out = jax.device_get(sample(unet_vars, lfae_vars, srng, ref_img, jnp.asarray(cond)))
+        write_gif(text, out, 0)
 
 
 if __name__ == "__main__":

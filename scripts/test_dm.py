@@ -151,6 +151,30 @@ def main() -> None:
     lpips_vals, real_set, fake_set = [], [], []
     classes, subjects = [], []  # grouping keys for cFVD / sFVD
     n = min(args.num_videos, len(dataset))
+
+    sharded_out = None
+    if args.mesh:
+        # multi-chip serving: sample ALL eval videos in one dispatch with
+        # the request batch sharded over the data mesh (parallel/serving.py)
+        from cvpr23_lfdm_tpu.parallel.serving import (
+            sample_video_sharded, serving_mesh,
+        )
+
+        mesh = serving_mesh(args.mesh)
+        items = [dataset[i] for i in range(n)]
+        refs = jnp.stack([jnp.asarray(it["video"][0]) for it in items])
+        conds = jnp.stack(
+            [jnp.asarray(embedder([it["text"]])[0][0]) for it in items]
+        )
+        rng, ks = jax.random.split(rng)
+        sharded_out = jax.device_get(
+            sample_video_sharded(
+                model, mesh, unet_vars, lfae_vars, ks, refs, conds,
+                args.cond_scale,
+            )
+        )
+        print(f"sampled {n} videos on mesh {args.mesh}")
+
     for i in range(n):
         item = dataset[i]
         vid = jnp.asarray(item["video"])[None]
@@ -159,7 +183,10 @@ def main() -> None:
         cond = jnp.asarray(cond)
         rng, k1, k2 = jax.random.split(rng, 3)
         loss, aux = forward(unet_vars, lfae_vars, k1, ref, vid, cond)
-        out = jax.device_get(sample(unet_vars, lfae_vars, k2, ref, cond))
+        if sharded_out is not None:
+            out = {k: v[i : i + 1] for k, v in sharded_out.items()}
+        else:
+            out = jax.device_get(sample(unet_vars, lfae_vars, k2, ref, cond))
         rec_losses.append(float(aux["rec_loss"]))
         warp_losses.append(float(aux["rec_warp_loss"]))
         psnrs.append(float(psnr(vid, jnp.asarray(out["out_vid"]))))
