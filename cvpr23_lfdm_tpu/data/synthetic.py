@@ -14,12 +14,18 @@ import numpy as np
 
 
 def _blob_video(
-    rng: np.random.Generator, num_frames: int, size: int, seed_color
+    rng: np.random.Generator, num_frames: int, size: int, seed_color,
+    motion_scale: float = 1.0,
 ) -> np.ndarray:
-    """A colored gaussian blob translating across the frame."""
+    """A colored gaussian blob translating across the frame.
+
+    `motion_scale` scales the travel distance: 1.0 sweeps up to 30% of
+    the frame (stress augmentation/warp paths); ~0.2 matches the few-px
+    local motion of real MUG facial expressions (the trained-regime
+    bench corpus, scripts/make_bench_ckpt.py)."""
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
     x0, y0 = rng.uniform(0.2, 0.8, 2)
-    vx, vy = rng.uniform(-0.3, 0.3, 2)
+    vx, vy = rng.uniform(-0.3, 0.3, 2) * motion_scale
     sigma = rng.uniform(0.08, 0.15)
     frames = []
     for f in range(num_frames):
@@ -40,6 +46,7 @@ def make_synthetic_corpus(
     num_frames: int = 12,
     size: int = 64,
     seed: int = 0,
+    motion_scale: float = 1.0,
 ) -> None:
     """Write a synthetic frame-folder tree matching `dataset`'s layout."""
     import imageio.v2 as imageio
@@ -53,7 +60,7 @@ def make_synthetic_corpus(
 
     def write_video(vdir, color):
         os.makedirs(vdir, exist_ok=True)
-        vid = _blob_video(rng, num_frames, size, color)
+        vid = _blob_video(rng, num_frames, size, color, motion_scale)
         for i, frame in enumerate(vid):
             imageio.imwrite(os.path.join(vdir, f"{i:04d}.png"), frame)
 
