@@ -99,8 +99,20 @@ def bert_masked_mean_embed(
     import torch
     from transformers import AutoModel, AutoTokenizer
 
-    tok = AutoTokenizer.from_pretrained(model_name_or_path)
-    model = AutoModel.from_pretrained(model_name_or_path)
+    # local-first: hub-name resolution retries the network for ~2 min in
+    # egress-less environments before failing; a local cache/dir loads
+    # identically with local_files_only and we only fall through to the
+    # network when nothing is cached.
+    try:
+        tok = AutoTokenizer.from_pretrained(
+            model_name_or_path, local_files_only=True
+        )
+        model = AutoModel.from_pretrained(
+            model_name_or_path, local_files_only=True
+        )
+    except Exception:
+        tok = AutoTokenizer.from_pretrained(model_name_or_path)
+        model = AutoModel.from_pretrained(model_name_or_path)
     model.eval()
     enc = tok(list(texts), padding=True, return_tensors="pt")
     with torch.no_grad():

@@ -184,6 +184,13 @@ def load_text_embedder(dataset_or_args, allow_random: bool = False):
         dataset = args.dataset
         bert_path = args.bert_path
         allow_random = args.allow_random_text or args.synthetic
+    env_set = False
+    if allow_random and "HF_HUB_OFFLINE" not in os.environ:
+        # smoke mode tolerates the random table, so don't let transformers
+        # retry the hub for ~2 min in egress-less environments — offline
+        # mode fails fast (local dirs and cached snapshots still load)
+        os.environ["HF_HUB_OFFLINE"] = "1"
+        env_set = True
     try:
         return TextEmbedder.build(dataset, model_name_or_path=bert_path)
     except Exception as e:  # no cache and no reachable BERT
@@ -197,3 +204,6 @@ def load_text_embedder(dataset_or_args, allow_random: bool = False):
             )
         print(f"warning: BERT embeddings unavailable ({e}); using random table")
         return TextEmbedder.random_for_testing(DATASET_CLASSES[dataset])
+    finally:
+        if env_set:
+            del os.environ["HF_HUB_OFFLINE"]
