@@ -5,6 +5,7 @@ from cvpr23_lfdm_tpu.data.datasets import (
     DatasetRepeater,
     DMVideoDataset,
     LFAEPairDataset,
+    PairedDataset,
 )
 from cvpr23_lfdm_tpu.data.loader import PrefetchLoader, collate
 from cvpr23_lfdm_tpu.data.specs import SPECS, DatasetSpec, get_spec
@@ -14,6 +15,7 @@ __all__ = [
     "DatasetRepeater",
     "DMVideoDataset",
     "LFAEPairDataset",
+    "PairedDataset",
     "PrefetchLoader",
     "collate",
     "SPECS",

@@ -151,9 +151,10 @@ class LFAEPairDataset:
     `id_sampling` reproduces the generic FramesDataset protocol
     (LFAE/frames_dataset.py:120-127): the dataset indexes IDENTITIES
     (subjects) and each visit draws a random take of that identity —
-    instead of indexing takes directly. `pairs_list` is accepted for API
-    parity; the reference stores it and never reads it
-    (frames_dataset.py:89,94 — dead in every shipped config)."""
+    instead of indexing takes directly. `pairs_list` (a CSV of
+    source/driving video names) is stored for `PairedDataset` to consume —
+    matching the reference, where only PairedDataset reads it
+    (frames_dataset.py:89,207-222; no shipped config sets it)."""
 
     def __init__(
         self,
@@ -171,7 +172,7 @@ class LFAEPairDataset:
         self.augment = augment
         self.seed = seed
         self.id_sampling = id_sampling
-        self.pairs_list = pairs_list  # dead reference API knob (see class doc)
+        self.pairs_list = pairs_list  # consumed by PairedDataset (class doc)
         self.entries = _split_entries(spec, root, split)
         if id_sampling:
             by_subject: dict[str, list[VideoEntry]] = {}
@@ -231,3 +232,60 @@ class DatasetRepeater:
         if inner is None:
             return self.dataset[idx % n]
         return inner(idx % n, epoch * self.num_repeats + idx // n)
+
+
+class PairedDataset:
+    """(driving, source) video pairs for cross-video animation eval
+    (LFAE/frames_dataset.py:196-233).
+
+    Wraps any indexable dataset whose items are dicts. Pairs come from
+    either
+
+    * a random cross-product: all (i, j) with i, j < min(number_of_pairs,
+      len(dataset)), subsampled to `number_of_pairs` without replacement
+      under `seed` (the reference seeds the global numpy RNG; here a
+      private Generator), or
+    * the wrapped dataset's `pairs_list` CSV with `source`/`driving`
+      columns of video names — rows whose names are missing from the
+      dataset are dropped, order preserved, truncated to
+      `number_of_pairs`. This is where the reference's stored-but-dead
+      `pairs_list` knob becomes live.
+
+    Items are the two wrapped items with `driving_`/`source_` key
+    prefixes, e.g. `driving_video`, `source_video`.
+    """
+
+    def __init__(self, initial_dataset, number_of_pairs: int, seed: int = 0):
+        self.initial_dataset = initial_dataset
+        pairs_list = getattr(initial_dataset, "pairs_list", None)
+        if pairs_list is None:
+            max_idx = min(number_of_pairs, len(initial_dataset))
+            xy = np.mgrid[:max_idx, :max_idx].reshape(2, -1).T
+            number_of_pairs = min(xy.shape[0], number_of_pairs)
+            rng = np.random.default_rng(seed)
+            take = rng.choice(xy.shape[0], number_of_pairs, replace=False)
+            self.pairs = [tuple(int(v) for v in xy[i]) for i in take]
+        else:
+            import csv
+
+            names = [e.name for e in initial_dataset.entries]
+            name_to_index = {n: i for i, n in enumerate(names)}
+            self.pairs = []
+            with open(pairs_list, newline="") as f:
+                for row in csv.DictReader(f):
+                    d, s = row["driving"], row["source"]
+                    if d in name_to_index and s in name_to_index:
+                        self.pairs.append((name_to_index[d], name_to_index[s]))
+                    if len(self.pairs) >= number_of_pairs:
+                        break
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def __getitem__(self, idx: int) -> dict:
+        d_idx, s_idx = self.pairs[idx]
+        first = self.initial_dataset[d_idx]
+        second = self.initial_dataset[s_idx]
+        out = {f"driving_{k}": v for k, v in first.items()}
+        out.update({f"source_{k}": v for k, v in second.items()})
+        return out

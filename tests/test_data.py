@@ -496,3 +496,49 @@ def test_lfae_pair_dataset_id_sampling(corpora):
     assert len(names) > 1
     subj = ds.identities[0]
     assert all(n in {e.name for e in ds._takes[subj]} for n in names)
+
+
+def test_paired_dataset_random_pairs(corpora):
+    """Cross-product subsample mode (frames_dataset.py:205-210):
+    deterministic under seed, items are prefixed driving_/source_ dicts."""
+    from cvpr23_lfdm_tpu.data import PairedDataset
+
+    spec = get_spec("mug")
+    base = LFAEPairDataset(
+        spec, corpora["mug"], "train", frame_shape=32, augment=None
+    )
+    ds = PairedDataset(base, number_of_pairs=4, seed=3)
+    ds2 = PairedDataset(base, number_of_pairs=4, seed=3)
+    assert len(ds) == 4
+    assert ds.pairs == ds2.pairs  # seeded, not global-RNG-dependent
+    # pairs index within the truncated cross-product square
+    m = min(4, len(base))
+    assert all(0 <= i < m and 0 <= j < m for i, j in ds.pairs)
+    item = ds[0]
+    assert "driving_source" in item and "source_source" in item
+    assert item["driving_source"].shape == (32, 32, 3)
+
+
+def test_paired_dataset_pairs_list_csv(corpora, tmp_path):
+    """CSV mode (frames_dataset.py:211-222): rows filtered to known video
+    names, order preserved, name->index mapping correct."""
+    from cvpr23_lfdm_tpu.data import PairedDataset
+
+    spec = get_spec("mug")
+    base = LFAEPairDataset(
+        spec, corpora["mug"], "train", frame_shape=32, augment=None,
+        pairs_list=str(tmp_path / "pairs.csv"),
+    )
+    names = [e.name for e in base.entries]
+    csv_path = tmp_path / "pairs.csv"
+    csv_path.write_text(
+        "source,driving\n"
+        f"{names[0]},{names[1]}\n"
+        f"not_a_video,{names[0]}\n"   # dropped: unknown source
+        f"{names[1]},{names[0]}\n"
+    )
+    ds = PairedDataset(base, number_of_pairs=10, seed=0)
+    assert ds.pairs == [(1, 0), (0, 1)]  # (driving_idx, source_idx)
+    item = ds[0]
+    assert item["driving_name"] == names[1]
+    assert item["source_name"] == names[0]
