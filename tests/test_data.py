@@ -542,3 +542,38 @@ def test_paired_dataset_pairs_list_csv(corpora, tmp_path):
     item = ds[0]
     assert item["driving_name"] == names[1]
     assert item["source_name"] == names[0]
+
+
+def test_read_image_cache(tmp_path, monkeypatch):
+    """Decoded-frame LRU: hit returns the identical read-only array; the
+    byte budget evicts oldest-first; 0 disables caching entirely."""
+    import cv2
+
+    from cvpr23_lfdm_tpu.data import io as dio
+
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"f{i}.png")
+        cv2.imwrite(p, np.full((8, 8, 3), i * 10, np.uint8))
+        paths.append(p)
+
+    dio.clear_image_cache()
+    a = dio.read_image(paths[0])
+    assert not a.flags.writeable
+    assert dio.read_image(paths[0]) is a  # cache hit
+    np.testing.assert_array_equal(a, np.full((8, 8, 3), 0, np.uint8))
+
+    # budget of exactly two 8x8x3 frames -> reading a third evicts the LRU
+    monkeypatch.setenv("LFDM_IMAGE_CACHE_MB", str(2 * 8 * 8 * 3 / 2**20))
+    dio.clear_image_cache()
+    a0 = dio.read_image(paths[0])
+    a1 = dio.read_image(paths[1])
+    dio.read_image(paths[2])
+    assert dio.read_image(paths[1]) is a1  # still cached
+    assert dio.read_image(paths[0]) is not a0  # evicted (oldest)
+
+    monkeypatch.setenv("LFDM_IMAGE_CACHE_MB", "0")
+    dio.clear_image_cache()
+    b = dio.read_image(paths[0])
+    assert b.flags.writeable  # uncached arrays stay mutable
+    assert dio.read_image(paths[0]) is not b
