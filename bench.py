@@ -96,8 +96,14 @@ def main() -> None:
         unet_vars, lfae_vars,
     )
     if loaded is not None:
-        unet_vars, lfae_vars, cond_row = loaded
-        cond = jnp.asarray(cond_row)[None]
+        unet_vars, lfae_vars = loaded.unet_vars, loaded.lfae_vars
+        cond = jnp.asarray(loaded.cond)[None]
+        if loaded.ref is not None:
+            ref_img = jnp.asarray(loaded.ref)[None]
+        if loaded.meta["objective"] != cfg.diffusion.objective:
+            cfg = cfg.replace(diffusion=dataclasses.replace(
+                cfg.diffusion, objective=loaded.meta["objective"]))
+            model = FlowDiffusion(cfg.lfae, cfg.diffusion)
         weights = "trained-synthetic"
 
     def sample(unet_vars, lfae_vars, rng, ref_img, cond):

@@ -128,6 +128,10 @@ class DiffusionConfig:
     loss_type: str = "l2"
     use_dynamic_thres: bool = True
     dynamic_thres_percentile: float = 0.9
+    # denoiser output parameterization: "eps" (reference,
+    # video_flow_diffusion.py:697-701) | "x0" | "v" — same serving FLOPs;
+    # see GaussianDiffusion.objective for when non-eps converges faster
+    objective: str = "eps"
     # UNet
     dim: int = 64
     dim_mults: tuple[int, ...] = (1, 2, 4, 8)

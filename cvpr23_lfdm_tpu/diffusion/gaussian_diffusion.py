@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from cvpr23_lfdm_tpu.diffusion.schedule import DiffusionSchedule
 
-# denoise(x, t, cond, null_cond_mask, fea) -> eps prediction [B,F,h,w,3];
+# denoise(x, t, cond, null_cond_mask, fea) -> model prediction [B,F,h,w,3]
+# (eps / x0 / v per `GaussianDiffusion.objective`);
 # fea is [B, 1, h, w, Cf] (frame-broadcast inside the UNet)
 DenoiseFn = Callable[..., jnp.ndarray]
 
@@ -61,6 +62,17 @@ class GaussianDiffusion:
     use_dynamic_thres: bool = True
     dynamic_thres_percentile: float = 0.9
     null_cond_prob: float = 0.1
+    # What the denoiser output means: "eps" (noise — the reference's only
+    # parameterization, video_flow_diffusion.py:697-701), "x0" (clean
+    # latent directly), or "v" (Salimans & Ho 2022 velocity). Identical
+    # serving FLOPs — only the algebra around the UNet call changes. The
+    # near-constant latent-flow data this model diffuses has variance << 1,
+    # so with "eps" the x0 estimate at high t amplifies prediction error by
+    # 1/sqrt(alpha_bar) (~100x at t~1000) and few-step DDIM needs very long
+    # training before samples leave the noise regime; "x0"/"v" regress the
+    # clean latent (in part) and reach the trained flow regime orders of
+    # magnitude sooner.
+    objective: str = "eps"
 
     @staticmethod
     def create(cfg) -> "GaussianDiffusion":
@@ -74,6 +86,7 @@ class GaussianDiffusion:
             use_dynamic_thres=cfg.use_dynamic_thres,
             dynamic_thres_percentile=cfg.dynamic_thres_percentile,
             null_cond_prob=cfg.null_cond_prob,
+            objective=getattr(cfg, "objective", "eps"),
         )
 
     @property
@@ -98,6 +111,29 @@ class GaussianDiffusion:
             - _extract(s.sqrt_recipm1_alphas_cumprod, t, x_t.ndim) * noise
         )
 
+    def predict_noise_from_start(self, x_t, t, x0):
+        """Inverse of predict_start_from_noise (same two constants)."""
+        s = self.schedule
+        return (
+            _extract(s.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t - x0
+        ) / _extract(s.sqrt_recipm1_alphas_cumprod, t, x_t.ndim)
+
+    def predict_v(self, x_start, t, noise):
+        """v := sqrt(ab)*eps - sqrt(1-ab)*x0 (Salimans & Ho 2022, eq. 11)."""
+        s = self.schedule
+        return (
+            _extract(s.sqrt_alphas_cumprod, t, x_start.ndim) * noise
+            - _extract(s.sqrt_one_minus_alphas_cumprod, t, x_start.ndim)
+            * x_start
+        )
+
+    def predict_start_from_v(self, x_t, t, v):
+        s = self.schedule
+        return (
+            _extract(s.sqrt_alphas_cumprod, t, x_t.ndim) * x_t
+            - _extract(s.sqrt_one_minus_alphas_cumprod, t, x_t.ndim) * v
+        )
+
     def q_posterior(self, x_start, x_t, t):
         """video_flow_diffusion.py:703-710."""
         s = self.schedule
@@ -112,6 +148,27 @@ class GaussianDiffusion:
         if self.use_dynamic_thres:
             return dynamic_threshold(x0, self.dynamic_thres_percentile)
         return jnp.clip(x0, -1.0, 1.0)
+
+    def _pred_to_x0_eps(self, x_t, t, pred):
+        """Interpret the denoiser output per `objective`.
+
+        Returns `(x0, eps)` with x0 thresholded. For "eps", eps is the RAW
+        model output — the reference's DDIM update uses pred_noise as-is
+        and thresholds only x0 (video_flow_diffusion.py:797-826). For
+        "x0"/"v", eps is derived from the THRESHOLDED x0 so the sampler
+        trajectory stays consistent with the clipped estimate."""
+        if self.objective == "eps":
+            x0 = self._maybe_threshold(
+                self.predict_start_from_noise(x_t, t, pred)
+            )
+            return x0, pred
+        if self.objective == "x0":
+            x0 = self._maybe_threshold(pred)
+            return x0, self.predict_noise_from_start(x_t, t, x0)
+        if self.objective == "v":
+            x0 = self._maybe_threshold(self.predict_start_from_v(x_t, t, pred))
+            return x0, self.predict_noise_from_start(x_t, t, x0)
+        raise NotImplementedError(self.objective)
 
     # ---------------------------------------------------------------- loss
 
@@ -154,25 +211,35 @@ class GaussianDiffusion:
             if none_cond_mask is not None:
                 null_mask = jnp.logical_or(null_mask, none_cond_mask)
 
-        pred_noise = denoise(x_noisy, t, cond, null_mask, fea[:, None])
+        pred = denoise(x_noisy, t, cond, null_mask, fea[:, None])
+
+        if self.objective == "eps":
+            target = noise
+        elif self.objective == "x0":
+            target = x_start
+        elif self.objective == "v":
+            target = self.predict_v(x_start, t, noise)
+        else:
+            raise NotImplementedError(self.objective)
 
         if self.loss_type == "l1":
-            loss = jnp.mean(jnp.abs(noise - pred_noise))
+            loss = jnp.mean(jnp.abs(target - pred))
         elif self.loss_type == "l2":
-            loss = jnp.mean((noise - pred_noise) ** 2)
+            loss = jnp.mean((target - pred) ** 2)
         else:
             raise NotImplementedError(self.loss_type)
 
-        pred_x0 = self.predict_start_from_noise(x_noisy, t, pred_noise)
-        pred_x0 = self._maybe_threshold(pred_x0)
+        pred_x0, _ = self._pred_to_x0_eps(x_noisy, t, pred)
         return loss, {"pred_x0": pred_x0, "t": t}
 
     # ---------------------------------------------------------------- CFG
 
-    def _guided_eps(self, denoise: DenoiseFn, x_in, t, cond, cond_scale: float, fea):
+    def _guided_pred(self, denoise: DenoiseFn, x_in, t, cond, cond_scale: float, fea):
         """forward_with_cond_scale (video_flow_diffusion.py:511-526) as a
         single batched call. `cond_scale` is a static float. `fea` is
-        [B, 1, h, w, Cf]."""
+        [B, 1, h, w, Cf]. Guidance combines the raw denoiser outputs
+        linearly whatever the `objective` parameterization (the
+        lucidrains-family convention the reference inherits)."""
         b = x_in.shape[0]
         false_mask = jnp.zeros((b,), dtype=bool)
         true_mask = jnp.ones((b,), dtype=bool)
@@ -185,9 +252,9 @@ class GaussianDiffusion:
         cond2 = jnp.concatenate([cond, cond], axis=0)
         mask2 = jnp.concatenate([false_mask, true_mask], axis=0)
         fea2 = jnp.concatenate([fea, fea], axis=0)
-        eps2 = denoise(x2, t2, cond2, mask2, fea2)
-        eps_cond, eps_null = eps2[:b], eps2[b:]
-        return eps_null + (eps_cond - eps_null) * cond_scale
+        pred2 = denoise(x2, t2, cond2, mask2, fea2)
+        pred_cond, pred_null = pred2[:b], pred2[b:]
+        return pred_null + (pred_cond - pred_null) * cond_scale
 
     # ---------------------------------------------------------------- DDPM
 
@@ -216,8 +283,8 @@ class GaussianDiffusion:
         def step(img, inp):
             t_scalar, noise = inp
             t = jnp.full((b,), t_scalar, jnp.int32)
-            eps = self._guided_eps(denoise, img, t, cond, cond_scale, fea_1)
-            x0 = self._maybe_threshold(self.predict_start_from_noise(img, t, eps))
+            pred = self._guided_pred(denoise, img, t, cond, cond_scale, fea_1)
+            x0, _ = self._pred_to_x0_eps(img, t, pred)
             mean, log_var = self.q_posterior(x0, img, t)
             nonzero = (t_scalar > 0).astype(img.dtype)
             img = mean + nonzero * jnp.exp(0.5 * log_var) * noise
@@ -270,8 +337,8 @@ class GaussianDiffusion:
         def step(img, inp):
             t_scalar, t_next_scalar, alpha_next_s, sigma_s, c_s, noise = inp
             t = jnp.full((b,), t_scalar, jnp.int32)
-            eps = self._guided_eps(denoise, img, t, cond, cond_scale, fea_1)
-            x0 = self._maybe_threshold(self.predict_start_from_noise(img, t, eps))
+            pred = self._guided_pred(denoise, img, t, cond, cond_scale, fea_1)
+            x0, eps = self._pred_to_x0_eps(img, t, pred)
             noise = jnp.where(t_next_scalar > 0, noise, 0.0)
             img = x0 * jnp.sqrt(alpha_next_s) + c_s * eps + sigma_s * noise
             return img, None
@@ -323,8 +390,8 @@ class GaussianDiffusion:
         def step(img, inp):
             t_scalar, noise = inp
             tt = jnp.full((b,), t_scalar, jnp.int32)
-            eps = self._guided_eps(denoise, img, tt, cond, cond_scale, fea_1)
-            x0 = self._maybe_threshold(self.predict_start_from_noise(img, tt, eps))
+            pred = self._guided_pred(denoise, img, tt, cond, cond_scale, fea_1)
+            x0, _ = self._pred_to_x0_eps(img, tt, pred)
             mean, log_var = self.q_posterior(x0, img, tt)
             nonzero = (t_scalar > 0).astype(img.dtype)
             return mean + nonzero * jnp.exp(0.5 * log_var) * noise, None

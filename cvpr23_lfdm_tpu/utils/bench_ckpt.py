@@ -22,6 +22,8 @@ with an in-distribution cond.
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import os
 
 import jax
@@ -30,6 +32,23 @@ import numpy as np
 _UNET = "unet.msgpack"
 _GEN = "generator.msgpack"
 _COND = "cond.npy"
+_REF = "ref.npy"
+_META = "meta.json"
+
+
+@dataclasses.dataclass
+class BenchCkpt:
+    unet_vars: dict
+    lfae_vars: dict
+    cond: np.ndarray
+    # in-distribution reference frame [H, W, 3] in [0, 1] (or None for
+    # checkpoints saved before the field existed): serving conditions the
+    # UNet on `compute_fea(ref)` — a random-noise ref puts the sampler off
+    # the trained manifold even with trained weights
+    ref: np.ndarray | None
+    # {"objective": "eps"|"x0"|"v", ...}: the sampler must be built with
+    # the objective the weights were trained under
+    meta: dict
 
 
 def _to_fp16(tree):
@@ -38,8 +57,11 @@ def _to_fp16(tree):
     )
 
 
-def save_bench_ckpt(directory: str, unet_vars, lfae_vars, cond) -> None:
-    """Write unet (full) + lfae generator subtree + cond vector."""
+def save_bench_ckpt(
+    directory: str, unet_vars, lfae_vars, cond, ref=None, meta: dict | None = None
+) -> None:
+    """Write unet (full) + lfae generator subtree + cond vector (+ optional
+    reference frame and meta, e.g. the training objective)."""
     from flax.serialization import msgpack_serialize
 
     os.makedirs(directory, exist_ok=True)
@@ -65,13 +87,22 @@ def save_bench_ckpt(directory: str, unet_vars, lfae_vars, cond) -> None:
         os.path.join(directory, _COND),
         np.asarray(jax.device_get(cond), np.float32),
     )
+    if ref is not None:
+        np.save(
+            os.path.join(directory, _REF),
+            np.asarray(jax.device_get(ref), np.float32),
+        )
+    if meta is not None:
+        with open(os.path.join(directory, _META), "w") as f:
+            json.dump(meta, f, indent=1)
 
 
 def load_bench_ckpt(directory: str, unet_template, lfae_template):
-    """Returns `(unet_vars, lfae_vars, cond)` with the saved weights cast
-    to each template leaf's dtype and the generator subtree grafted into
-    `lfae_template` (other LFAE submodules keep the template's values), or
-    `None` if the directory is absent/incomplete."""
+    """Returns a `BenchCkpt` with the saved weights cast to each template
+    leaf's dtype and the generator subtree grafted into `lfae_template`
+    (other LFAE submodules keep the template's values), or `None` if the
+    directory is absent/incomplete. `ref`/`meta` fall back to None/{"objective":
+    "eps"} for checkpoints saved before those files existed."""
     paths = {n: os.path.join(directory, n) for n in (_UNET, _GEN, _COND)}
     if not all(os.path.exists(p) for p in paths.values()):
         return None
@@ -100,4 +131,11 @@ def load_bench_ckpt(directory: str, unet_template, lfae_template):
             tgen[k] = cast_like(saved, tgen[k])
         lfae_vars[col]["generator"] = tgen  # absent keys keep template
     cond = np.load(paths[_COND]).astype(np.float32)
-    return unet_vars, lfae_vars, cond
+    ref_path = os.path.join(directory, _REF)
+    ref = np.load(ref_path).astype(np.float32) if os.path.exists(ref_path) else None
+    meta = {"objective": "eps"}
+    meta_path = os.path.join(directory, _META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta.update(json.load(f))
+    return BenchCkpt(unet_vars, lfae_vars, cond, ref, meta)

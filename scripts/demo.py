@@ -98,7 +98,11 @@ def main() -> None:
 
         loaded = load_bench_ckpt(bench_dir, unet_vars, lfae_vars)
         if loaded is not None:
-            unet_vars, lfae_vars, _ = loaded
+            unet_vars, lfae_vars = loaded.unet_vars, loaded.lfae_vars
+            if loaded.meta["objective"] != cfg.diffusion.objective:
+                cfg = cfg.replace(diffusion=dataclasses.replace(
+                    cfg.diffusion, objective=loaded.meta["objective"]))
+                model = FlowDiffusion(cfg.lfae, cfg.diffusion)
             print(f"smoke mode: trained-synthetic weights from {bench_dir}")
 
     if not args.ref_image:

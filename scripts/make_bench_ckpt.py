@@ -32,7 +32,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from _common import base_parser, load_text_embedder, setup_platform
+from _common import (
+    apply_lfae_dtype, base_parser, load_text_embedder, setup_platform,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -48,6 +50,27 @@ def main() -> None:
         "--motion-scale", type=float, default=0.2,
         help="synthetic-corpus travel scale (1.0 = 30%% of frame; 0.2 "
         "matches real MUG facial-motion magnitude — see corpus note)",
+    )
+    p.add_argument(
+        "--no-augment", action="store_true",
+        help="drop clip augmentation + color jitter: this checkpoint's "
+        "job is to OVERFIT the corpus flow statistics (generative "
+        "sample quality at DDIM-10 is the binding constraint, and "
+        "jitter is also most of the 1-core host step time)",
+    )
+    p.add_argument(
+        "--save-every", type=int, default=0,
+        help="overwrite-save the bench ckpt every N DM steps (a killed "
+        "run keeps its latest weights)",
+    )
+    p.add_argument(
+        "--objective", choices=("eps", "x0", "v"), default="x0",
+        help="denoiser parameterization for THIS checkpoint (recorded in "
+        "meta.json; bench.py builds its sampler to match — same FLOPs). "
+        "Default x0: the latent-flow data is near-constant (var << 1), so "
+        "eps-prediction converges to the trained sampling regime orders "
+        "of magnitude slower (measured: eps at 3k steps / loss 0.01 still "
+        "samples noise-scale flows, fit_rate 0 at 64/128)",
     )
     p.add_argument("--out", default=os.path.join(REPO, "assets", "bench_ckpt"))
     args = p.parse_args()
@@ -66,6 +89,10 @@ def main() -> None:
     from cvpr23_lfdm_tpu.utils.bench_ckpt import save_bench_ckpt
 
     cfg = mug_config()
+    cfg = apply_lfae_dtype(cfg, args)
+    cfg = cfg.replace(
+        diffusion=dataclasses.replace(cfg.diffusion, objective=args.objective)
+    )
     spec = get_spec("mug")
 
     root = args.data_root
@@ -94,7 +121,7 @@ def main() -> None:
     # ---------------------------------------------------------- stage 1
     lfae_ds = LFAEPairDataset(
         spec, root, "train", frame_shape=cfg.lfae.frame_shape,
-        augment=ClipAugment(), seed=args.seed,
+        augment=None if args.no_augment else ClipAugment(), seed=args.seed,
     )
     vgg_vars = jax.jit(
         lambda r: Vgg19Features().init(
@@ -113,13 +140,18 @@ def main() -> None:
     lfae_vars = jax.device_get(
         {"params": state.params, "batch_stats": state.batch_stats}
     )
-    del loader
+    # free stage-1 HBM (train state incl. Adam moments, VGG pyramid) before
+    # stage 2 places its own weights — the v5e has 16 GB and the DM stage
+    # at batch 8 needs the headroom
+    del loader, state, vgg_vars, lfae_trainer
+    jax.clear_caches()
 
     # ---------------------------------------------------------- stage 2
     embedder = load_text_embedder("mug", allow_random=True)
     dm_ds = DMVideoDataset(
         spec, root, "train", num_frames=cfg.diffusion.num_frames,
         image_size=cfg.lfae.frame_shape,
+        color_jitter=not args.no_augment,
         sampling=cfg.dm_train.frame_sampling, seed=args.seed,
     )
     dm_trainer = DMTrainer(cfg, steps_per_epoch=10_000, lfae_vars=lfae_vars)
@@ -139,9 +171,25 @@ def main() -> None:
                 "none_cond_mask": none_mask,
             }
 
+    cond_vec, _ = embedder([spec.classes[0]])
+    # in-distribution reference frame: serving conditions on compute_fea(ref),
+    # so the bench must feed a frame the model trained on, not noise
+    ref_frame = np.asarray(dm_ds[0]["video"][0], np.float32)
+    ckpt_meta = {"objective": args.objective}
+
+    def save_snapshot(st):
+        save_bench_ckpt(
+            args.out, jax.device_get(st.unet_vars), lfae_vars,
+            np.asarray(cond_vec)[0], ref=ref_frame, meta=ckpt_meta,
+        )
+        print(f"snapshot saved at step {int(jax.device_get(st.step))}",
+              flush=True)
+
     dm_state = dm_trainer.fit(
         dm_state, batches(), args.dm_steps, jax.random.PRNGKey(args.seed + 2),
         log_every=50,
+        checkpoint_fn=save_snapshot if args.save_every else None,
+        checkpoint_every=max(1, args.save_every),
     )
     unet_vars = jax.device_get(dm_state.unet_vars)
 
@@ -157,7 +205,6 @@ def main() -> None:
         diffusion=dataclasses.replace(cfg.diffusion, sampling_timesteps=10),
     )
     model = FlowDiffusion(probe_cfg.lfae, probe_cfg.diffusion)
-    cond_vec, _ = embedder([spec.classes[0]])
     s = cfg.lfae.frame_shape
 
     def probe(uv, lv, rng, ref, cond):
@@ -203,11 +250,17 @@ def main() -> None:
         "disp_p99_px": disp_p99,
         "lfae_steps": args.lfae_steps,
         "dm_steps": args.dm_steps,
+        "no_augment": bool(args.no_augment),
+        "motion_scale": args.motion_scale,
+        "objective": args.objective,
         "provenance": "product trainers on synthetic MUG-layout corpus, "
         f"seed {args.seed}; see scripts/make_bench_ckpt.py",
     }
 
-    save_bench_ckpt(args.out, unet_vars, lfae_vars, np.asarray(cond_vec)[0])
+    save_bench_ckpt(
+        args.out, unet_vars, lfae_vars, np.asarray(cond_vec)[0],
+        ref=ref_frame, meta=ckpt_meta,
+    )
     with open(os.path.join(args.out, "fit_report.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report["fit_rate"]))

@@ -46,6 +46,11 @@ def main() -> None:
         help="per-channel pixel mean, 0-255 scale (reference MEAN constant; "
         "every reference script uses (0,0,0))",
     )
+    p.add_argument(
+        "--objective", choices=("eps", "x0", "v"), default="eps",
+        help="denoiser parameterization — must match what --dm-ckpt was "
+        "trained with (train_dm.py --objective)",
+    )
     args = p.parse_args()
     setup_platform(args)
 
@@ -68,6 +73,7 @@ def main() -> None:
         diffusion=dataclasses.replace(
             cfg.diffusion, sampling_timesteps=steps,
             temporal_attn_impl=resolve_attn_impl(args),
+            objective=args.objective,
         ),
         lfae=dataclasses.replace(cfg.lfae, warp_impl=resolve_warp_impl(args)),
     )

@@ -35,6 +35,12 @@ def main() -> None:
         help="per-channel pixel mean, 0-255 scale (reference MEAN constant; "
         "every reference script uses (0,0,0))",
     )
+    p.add_argument(
+        "--objective", choices=("eps", "x0", "v"), default="eps",
+        help="denoiser parameterization (eps = reference parity; x0/v "
+        "converge faster on low-variance latents — sampling must use the "
+        "same objective the checkpoint trained with)",
+    )
     args = p.parse_args()
     setup_platform(args)
 
@@ -49,7 +55,9 @@ def main() -> None:
     cfg = PRESETS[args.dataset]()
     cfg = cfg.replace(
         diffusion=dataclasses.replace(
-            cfg.diffusion, temporal_attn_impl=resolve_attn_impl(args, training=True)
+            cfg.diffusion,
+            temporal_attn_impl=resolve_attn_impl(args, training=True),
+            objective=args.objective,
         )
     )
     cfg = apply_lfae_dtype(cfg, args)

@@ -42,7 +42,10 @@ def test_bench_ckpt_roundtrip_and_graft(tmp_path):
     unet_tmpl = {"params": {"conv": {"k": np.zeros((5, 5), np.float32)}}}
     got = load_bench_ckpt(d, unet_tmpl, lfae_tmpl)
     assert got is not None
-    unet2, lfae2, cond2 = got
+    unet2, lfae2, cond2 = got.unet_vars, got.lfae_vars, got.cond
+    # pre-ref/meta checkpoint: defaults
+    assert got.ref is None
+    assert got.meta["objective"] == "eps"
 
     # fp16 storage round-trip at template dtype
     assert unet2["params"]["conv"]["k"].dtype == np.float32
@@ -70,6 +73,13 @@ def test_bench_ckpt_roundtrip_and_graft(tmp_path):
         lfae2["params"]["generator"]["pixelwise_flow_predictor"]["w"],
         lfae_tmpl["params"]["generator"]["pixelwise_flow_predictor"]["w"],
     )
+
+    # ref frame + meta round-trip
+    ref = rng.random((8, 8, 3)).astype(np.float32)
+    save_bench_ckpt(d, unet, lfae, cond, ref=ref, meta={"objective": "x0"})
+    got = load_bench_ckpt(d, unet_tmpl, lfae_tmpl)
+    np.testing.assert_array_equal(got.ref, ref)
+    assert got.meta["objective"] == "x0"
 
     # incomplete directory -> None
     import os
