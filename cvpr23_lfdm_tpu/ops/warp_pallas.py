@@ -166,8 +166,27 @@ def warp_fits(h: int, w: int) -> bool:
 # (`warp_video` wraps both in `lax.cond`).
 
 _TILE = 16      # output tile edge (T = 256 pixels per tile)
-_WIN_H = 24     # window rows (y origin unrestricted: dim-0 slice)
-_WIN_W = 32     # window cols (x origin 8-aligned: clean sublane slice)
+
+# Per-resolution source windows (rows, cols): rows unrestricted (dim-0
+# slice), cols 8-aligned origin (sublane slice), so the col requirement
+# pays up to a 7-px alignment penalty. Sized from measured margins of
+# trained-model sampled flows (scripts/probe_fit.py over assets/bench_ckpt:
+# max per-tile requirement y27/x32 @64, y35/x38 @128 — the old 24x32
+# window fit 4%/0% of videos). The matmul cost is linear in rows*cols;
+# at 128 the window costs 2.5x the old one yet stays ~1 ms/video at B=1
+# against the 85 ms XLA-gather alternative (BENCH decode8 keys).
+_WIN_H = 32     # h <= 64 window rows
+_WIN_W = 32     # h <= 64 window cols
+_WIN_H_BIG = 40  # h > 64 window rows
+_WIN_W_BIG = 48  # h > 64 window cols
+
+
+def _window_for(h: int, w: int) -> tuple[int, int]:
+    if h <= 32:
+        return h, w  # whole frame: fit is structural
+    if h <= 64:
+        return min(_WIN_H, h), min(_WIN_W, w)
+    return _WIN_H_BIG, _WIN_W_BIG
 
 
 def _tiled_kernel(origin_ref, cpack_ref, src_ref, out_ref, *, h, w, c,
@@ -243,8 +262,7 @@ def _tiled_geometry(image, grid5):
     b, f, h, w, _ = grid5.shape
     tile = _TILE
     full = h <= 32  # window == whole frame: always fits, origins zero
-    wh = h if full else _WIN_H
-    ww = w if full else _WIN_W
+    wh, ww = _window_for(h, w)
     nty, ntx = h // tile, w // tile
     ntiles = nty * ntx
     n = b * f

@@ -155,15 +155,43 @@ def test_warp_gather_previous_blend(data):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_warp_video_tiled_big_windows():
+    """The per-resolution windows (round 4: 32x32 @64, 40x48 @128 — sized
+    from trained-flow margins, scripts/probe_fit.py) fit flows the old
+    24x32 window rejected, and stay exactly grid_sample."""
+    from cvpr23_lfdm_tpu.ops.warp_pallas import _tiled_geometry, warp_video
+
+    rng = np.random.default_rng(11)
+    for h, jitter in ((64, 0.10), (128, 0.05)):
+        b, f, c = 1, 2, 3
+        img = rng.random((b, h, h, c)).astype(np.float32)
+        # displacement ~ the bench-ckpt regime: p99 ~10px @64 / ~20px @128
+        g5 = _grid5(rng, b, f, h, h, jitter=jitter, offset=(0.12, -0.1))
+        _, _, fit, (wh, ww, _, _) = _tiled_geometry(
+            jnp.asarray(img), jnp.asarray(g5)
+        )
+        assert (wh, ww) == ((32, 32) if h == 64 else (40, 48))
+        assert bool(fit), h
+        out = warp_video(jnp.asarray(img), jnp.asarray(g5), interpret=True)
+        ref = grid_sample(
+            jnp.asarray(img), jnp.asarray(g5).reshape(b, f * h, h, 2)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out).reshape(b, f * h, h, c), np.asarray(ref),
+            atol=1e-5,
+        )
+
+
 def test_warp_video_fit_boundary():
     """Fit check flips exactly at the window capacity: a tile whose
     valid-corner spread equals WH-1 fits; one more pixel falls back."""
     from cvpr23_lfdm_tpu.ops.warp_pallas import (
-        _WIN_H, _tiled_geometry, warp_video,
+        _tiled_geometry, _window_for, warp_video,
     )
 
     rng = np.random.default_rng(7)
     b, f, h, w, c = 1, 1, 48, 48, 3
+    _WIN_H = _window_for(h, w)[0]
     img = rng.random((b, h, w, c)).astype(np.float32)
 
     def grid_with_y_spread(spread_px):
