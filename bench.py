@@ -44,6 +44,35 @@ ITERS = 10
 BATCH_THROUGHPUT = 8
 
 
+# Health bands (CLAUDE.md round-4: a starved axon proxy makes every device
+# call look 10-40x slower — BENCH_r04 recorded 10.68 f/s vs the real ~400s
+# because pytest ran concurrently). Out-of-band runs self-label degraded.
+RTT_BAND_MS = 100.0
+LOAD_BAND = 1.5
+
+
+def _tunnel_rtt_ms() -> float:
+    """Median round-trip of a trivial jitted op, real completion sync."""
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((128, 128), jnp.float32)
+    float(jax.device_get(f(x)))  # compile + warm
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(jax.device_get(f(x)))
+        rtts.append(time.perf_counter() - t0)
+    rtts.sort()
+    return rtts[len(rtts) // 2] * 1e3
+
+
+def _host_load1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return -1.0
+
+
 def main() -> None:
     import os
 
@@ -52,6 +81,8 @@ def main() -> None:
     enable_compile_cache(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     )
+    rtt_pre = _tunnel_rtt_ms()
+    load_pre = _host_load1()
     from cvpr23_lfdm_tpu.config import mug_config
     from cvpr23_lfdm_tpu.diffusion.flow_diffusion import FlowDiffusion
     from cvpr23_lfdm_tpu.models.flow_autoenc import init_lfae_vars
@@ -100,7 +131,17 @@ def main() -> None:
         cond = jnp.asarray(loaded.cond)[None]
         if loaded.ref is not None:
             ref_img = jnp.asarray(loaded.ref)[None]
-        if loaded.meta["objective"] != cfg.diffusion.objective:
+        rebuild = loaded.meta["objective"] != cfg.diffusion.objective
+        # checkpoint-adaptive tiled-warp windows + per-scale impl cap:
+        # measured margins/winners travel with the checkpoint (probe_fit)
+        from cvpr23_lfdm_tpu.ops.warp_pallas import configure_windows_from_meta
+
+        configure_windows_from_meta(loaded.meta)
+        if loaded.meta.get("tiled_max_res") is not None:
+            cfg = cfg.replace(lfae=dataclasses.replace(
+                cfg.lfae, warp_tiled_max_res=int(loaded.meta["tiled_max_res"])))
+            rebuild = True
+        if rebuild:
             cfg = cfg.replace(diffusion=dataclasses.replace(
                 cfg.diffusion, objective=loaded.meta["objective"]))
             model = FlowDiffusion(cfg.lfae, cfg.diffusion)
@@ -110,8 +151,11 @@ def main() -> None:
         out = model.sample_video(
             unet_vars, lfae_vars, rng, ref_img, cond, cond_scale=1.0
         )
-        # reduce to a scalar so the host sync below transfers 4 bytes
-        return out["out_vid"].mean()
+        # reduce to a scalar so the host sync below transfers 4 bytes; the
+        # per-scale fit flags ride along (a few bools) so the JSON can
+        # report which warp branch the generator's joint fit cond took —
+        # a silent fallback to the XLA gather is visible in the headline
+        return out["out_vid"].mean(), model.decode_fit_flags(out["vid_grid"])
 
     compiled = jax.jit(sample).lower(
         unet_vars, lfae_vars, k_s, ref_img, cond
@@ -125,12 +169,15 @@ def main() -> None:
     def run_once():
         # device_get forces a REAL completion sync; on this image's tunneled
         # backend block_until_ready returns at dispatch-ack, not completion
-        return float(
-            jax.device_get(compiled(unet_vars, lfae_vars, k_s, ref_img, cond))
+        m, fits = jax.device_get(
+            compiled(unet_vars, lfae_vars, k_s, ref_img, cond)
         )
+        return float(m), fits
 
+    fit_flags = {}
     for _ in range(WARMUP):
-        run_once()
+        _, fits = run_once()
+        fit_flags = {k: bool(v) for k, v in fits.items()}
 
     times = []
     for _ in range(ITERS):
@@ -150,7 +197,7 @@ def main() -> None:
     run_once()  # warm queue
     t0 = time.perf_counter()
     outs = [
-        compiled(unet_vars, lfae_vars, k_s, ref_img, cond)
+        compiled(unet_vars, lfae_vars, k_s, ref_img, cond)[0]
         for _ in range(k_pipe)
     ]
     for o in outs:
@@ -167,7 +214,9 @@ def main() -> None:
 
     def run_batch():
         return float(
-            jax.device_get(compiled_b(unet_vars, lfae_vars, k_s, ref_b, cond_b))
+            jax.device_get(
+                compiled_b(unet_vars, lfae_vars, k_s, ref_b, cond_b)[0]
+            )
         )
 
     run_batch()
@@ -217,6 +266,13 @@ def main() -> None:
         decode_ms[impl] = runs[len(runs) // 2] * 1e3
 
     achieved_tflops = graph_flops / median / 1e12
+    rtt_post = _tunnel_rtt_ms()
+    load_post = _host_load1()
+    degraded = (
+        rtt_pre > RTT_BAND_MS
+        or rtt_post > RTT_BAND_MS
+        or load_pre > LOAD_BAND
+    )
     print(
         json.dumps(
             {
@@ -224,6 +280,13 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "weights": weights,
+                "degraded": degraded,
+                "tunnel_rtt_ms_pre": round(rtt_pre, 1),
+                "tunnel_rtt_ms_post": round(rtt_post, 1),
+                "host_load1_pre": round(load_pre, 2),
+                "host_load1_post": round(load_post, 2),
+                "decode_fit": fit_flags,
+                "warp_tiled_max_res": cfg.lfae.warp_tiled_max_res,
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
                 "vs_h100_ceiling": round(fps / BASELINE_FPS_CEILING, 3),
                 "b1_pipelined_fps": round(pipe_fps, 2),

@@ -88,6 +88,10 @@ class LFAEConfig:
     # measured 3.3x the XLA gather at the 128^2 x 67ch serving shape).
     # Training paths always use the XLA warp regardless of this knob.
     warp_impl: str = "xla"
+    # largest decode resolution warp_impl="tiled" applies to (0 = all):
+    # lets the shipped config pick the measured per-scale winner when the
+    # retuned big window loses to the XLA gather at full res
+    warp_tiled_max_res: int = 0
     region_predictor: RegionPredictorConfig = field(default_factory=RegionPredictorConfig)
     bg_predictor: BGPredictorConfig = field(default_factory=BGPredictorConfig)
     generator: GeneratorConfig = field(default_factory=GeneratorConfig)

@@ -292,6 +292,33 @@ class FlowDiffusion:
             "warped_vid": warped_vid,
         }
 
+    def decode_fit_flags(self, vid_grid: jnp.ndarray) -> dict:
+        """Per-decode-scale tiled-warp fit flags for sampled flows
+        `[B, F, h, w, 2]`: which branch the generator's joint fit
+        `nn.cond` (generator.py:_decode_core) would take at each scale.
+        Observability only (bench/serving reports which warp path a run
+        actually measured); jit-compatible, returns {"<res>": bool_}."""
+        from cvpr23_lfdm_tpu.ops.resize import resize_bilinear
+        from cvpr23_lfdm_tpu.ops.warp_pallas import tiled_fit, tiled_supported
+
+        b, f, gh, gw, _ = vid_grid.shape
+        s = self.lfae_cfg.frame_shape
+        d = self.lfae_cfg.generator.num_down_blocks
+        flags = {}
+        for i in range(d + 1):
+            res = s // (2 ** (d - i))
+            if not tiled_supported(res, res):
+                continue
+            g = vid_grid
+            if (gh, gw) != (res, res):
+                g = resize_bilinear(
+                    vid_grid.reshape(b * f, gh, gw, 2), (res, res)
+                ).reshape(b, f, res, res, 2)
+            flags[str(res)] = tiled_fit(
+                jnp.zeros((b, res, res, 1), jnp.float32), g
+            )
+        return flags
+
     # ------------------------------------------------------------ init
 
     def init_unet_vars(self, rng: jax.Array, batch: int = 1) -> dict:

@@ -49,6 +49,7 @@ def build_lfae_modules(cfg: LFAEConfig, axis_name: str | None = None):
     generator = Generator(
         dtype=dtype,
         warp_impl=cfg.warp_impl,
+        tiled_max_res=cfg.warp_tiled_max_res,
         num_channels=cfg.num_channels,
         num_regions=cfg.num_regions,
         block_expansion=cfg.generator.block_expansion,

@@ -45,6 +45,10 @@ class Generator(nn.Module):
     # eval-mode decodes only — training always uses the XLA warp (the
     # tiled Pallas kernel has no VJP)
     warp_impl: str = "xla"
+    # largest resolution the tiled kernel handles (0 = unlimited): scales
+    # above the cap always take the XLA gather, and the joint fit flag
+    # only aggregates over capped-in scales (LFAEConfig.warp_tiled_max_res)
+    tiled_max_res: int = 0
 
     def setup(self):
         if self.pixelwise_flow_predictor_params is not None:
@@ -174,51 +178,63 @@ class Generator(nn.Module):
                 flows[res] = prep(res)
 
         use_tiled = self.warp_impl == "tiled" and not train
+        tiled_res: frozenset = frozenset()
         if use_tiled:
             from cvpr23_lfdm_tpu.ops.warp_pallas import (
                 tiled_fit, tiled_supported,
             )
 
-            use_tiled = all(tiled_supported(*r) for r in flows)
+            # scales eligible for the tiled kernel; scales above
+            # tiled_max_res statically take the XLA gather (measured
+            # per-scale winner, scripts/bench_warp.py --per-scale)
+            cap = self.tiled_max_res
+            tiled_res = frozenset(
+                r for r in flows
+                if tiled_supported(*r) and (cap <= 0 or r[0] <= cap)
+            )
+            use_tiled = bool(tiled_res)
         if use_tiled:
-            # ONE fit flag for all scales and ONE conditional around the
-            # whole warp-decoder: per-warp lax.cond barriers cost ~6 ms of
-            # lost overlap at B=1 (windows <= 32^2 always fit; their
+            # ONE fit flag over the tiled scales and ONE conditional around
+            # the whole warp-decoder: per-warp lax.cond barriers cost ~6 ms
+            # of lost overlap at B=1 (windows <= 32^2 always fit; their
             # geometry returns a constant True that folds away)
             fit = None
-            for s in scale_srcs:
-                res = s.shape[1:3]
+            for res in sorted(tiled_res):
                 g5 = flows[res][0].reshape(b, f, res[0], res[1], 2)
-                sc_fit = tiled_fit(s, g5)
+                sc_fit = tiled_fit(
+                    jnp.zeros((b,) + tuple(res) + (1,), jnp.float32), g5
+                )
                 fit = sc_fit if fit is None else jnp.logical_and(fit, sc_fit)
 
             return nn.cond(
                 fit,
                 lambda m: m._decode_warp_stack(
                     bottleneck_feat, skip_feats, source_image, flows,
-                    train, f, True,
+                    train, f, tiled_res,
                 ),
                 lambda m: m._decode_warp_stack(
                     bottleneck_feat, skip_feats, source_image, flows,
-                    train, f, False,
+                    train, f, frozenset(),
                 ),
                 self,
             )
         return self._decode_warp_stack(
-            bottleneck_feat, skip_feats, source_image, flows, train, f, False
+            bottleneck_feat, skip_feats, source_image, flows, train, f,
+            frozenset(),
         )
 
     def _decode_warp_stack(self, bottleneck_feat, skip_feats, source_image,
-                           flows, train, f, tiled: bool):
+                           flows, train, f, tiled_res: frozenset):
         """The warp + bottleneck/up-block decoder given per-scale resized
-        (flow, occlusion); `tiled` statically picks the warp kernel."""
+        (flow, occlusion); `tiled_res` statically picks the warp kernel
+        per scale (resolutions in the set use the tiled MXU kernel)."""
         b = source_image.shape[0]
 
         def warp_from(src_b, fl):
             """Gather from per-video source `[B, H, W, C]` with per-frame
             grids `[B*f, H, W, 2]` — no repeat of the source."""
             hh, ww, cc = src_b.shape[1:]
-            if tiled:
+            if (hh, ww) in tiled_res:
                 from cvpr23_lfdm_tpu.ops.warp_pallas import warp_video_tiled
 
                 out = warp_video_tiled(src_b, fl.reshape(b, f, hh, ww, 2))

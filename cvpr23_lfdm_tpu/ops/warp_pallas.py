@@ -169,24 +169,59 @@ _TILE = 16      # output tile edge (T = 256 pixels per tile)
 
 # Per-resolution source windows (rows, cols): rows unrestricted (dim-0
 # slice), cols 8-aligned origin (sublane slice), so the col requirement
-# pays up to a 7-px alignment penalty. Sized from measured margins of
-# trained-model sampled flows (scripts/probe_fit.py over assets/bench_ckpt:
-# max per-tile requirement y27/x32 @64, y35/x38 @128 — the old 24x32
-# window fit 4%/0% of videos). The matmul cost is linear in rows*cols;
-# at 128 the window costs 2.5x the old one yet stays ~1 ms/video at B=1
-# against the 85 ms XLA-gather alternative (BENCH decode8 keys).
+# pays up to a 7-px alignment penalty. Defaults sized from measured
+# margins of trained-model sampled flows (scripts/probe_fit.py over
+# assets/bench_ckpt: max per-tile requirement y27/x32 @64, y35/x38 @128 —
+# the round-3 24x32 window fit 4%/0% of videos). The 64-scale window
+# carries one column vreg of headroom (32x40, not the exact-fit 32x32):
+# its 100th-pct x requirement equals 32 exactly, and a marginally rougher
+# flow would silently flip the joint fit flag and route the WHOLE decode
+# back to the XLA gather. Matmul cost is linear in rows*cols.
 _WIN_H = 32     # h <= 64 window rows
-_WIN_W = 32     # h <= 64 window cols
+_WIN_W = 40     # h <= 64 window cols
 _WIN_H_BIG = 40  # h > 64 window rows
 _WIN_W_BIG = 48  # h > 64 window cols
+
+# Checkpoint-adaptive overrides: {resolution h -> (rows, cols)} set from a
+# checkpoint's measured fit margins (assets/bench_ckpt/meta.json
+# "tiled_windows", written by scripts/probe_fit.py). Consulted at TRACE
+# time — call set_windows() before the enclosing jit compiles.
+_WINDOW_OVERRIDES: dict[int, tuple[int, int]] = {}
+
+
+def set_windows(mapping: dict[int, tuple[int, int]] | None) -> None:
+    """Install per-resolution window overrides ({h: (rows, cols)}; None
+    clears). Rows are unrestricted; cols must be a multiple of 8 (sublane
+    alignment). Clears this module's jit caches so already-compiled
+    `warp_video_tiled` calls retrace; callers that jitted a LARGER graph
+    around it must configure windows before their first compile."""
+    _WINDOW_OVERRIDES.clear()
+    if mapping:
+        for h, (wh, ww) in mapping.items():
+            assert ww % 8 == 0, f"window cols must be 8-aligned, got {ww}"
+            _WINDOW_OVERRIDES[int(h)] = (int(wh), int(ww))
+    warp_video_tiled.clear_cache()
+
+
+def configure_windows_from_meta(meta: dict | None) -> None:
+    """Apply a bench-checkpoint meta dict's `tiled_windows` entry
+    ({"64": [32, 40], ...}); windows then travel with the checkpoint
+    instead of being hardcoded here (no-op when the key is absent)."""
+    if meta and "tiled_windows" in meta:
+        set_windows({int(k): tuple(v) for k, v in meta["tiled_windows"].items()})
 
 
 def _window_for(h: int, w: int) -> tuple[int, int]:
     if h <= 32:
         return h, w  # whole frame: fit is structural
+    if h in _WINDOW_OVERRIDES:
+        wh, ww = _WINDOW_OVERRIDES[h]
+        return min(wh, h), min(ww, w)
     if h <= 64:
         return min(_WIN_H, h), min(_WIN_W, w)
-    return _WIN_H_BIG, _WIN_W_BIG
+    # clamp like the small branch: both constants and any tiled-supported
+    # frame w are multiples of 8, so the col origin stays 8-aligned
+    return min(_WIN_H_BIG, h), min(_WIN_W_BIG, w)
 
 
 def _tiled_kernel(origin_ref, cpack_ref, src_ref, out_ref, *, h, w, c,
@@ -299,6 +334,35 @@ def _tiled_geometry(image, grid5):
         [oy.reshape(n, ntiles), ox8.reshape(n, ntiles)], axis=-1
     )
     return cpack, origins, fit, (wh, ww, nty, ntx)
+
+
+def tile_window_requirements(grid5: jnp.ndarray):
+    """Per-tile window extents the tiled kernel needs for `grid5`
+    `[B, F, H, W, 2]`: returns `(y_req, x_req)`, each `[B*F, nty, ntx]`.
+
+    Single source of truth for fit semantics (scripts/probe_fit.py sizes
+    checkpoint windows from these): built from the SAME `_coords_f32` /
+    `_corner_cover` / `_tile_minmax` helpers `_tiled_geometry` uses, so a
+    kernel-geometry change cannot silently diverge from the probe. A tile
+    fits window `(wh, ww)` iff `y_req <= wh and x_req <= ww`; the x
+    requirement includes the 8-aligned-origin penalty. (`_tiled_geometry`
+    additionally clips origins to the image — for any window that
+    satisfies these requirements the clip provably cannot un-fit a tile,
+    see test_warp_pallas.py's requirements-vs-fit regression.)"""
+    b, f, h, w, _ = grid5.shape
+    n = b * f
+    ix, iy = _coords_f32(grid5.reshape(n, h, w, 2), h, w)
+    x0 = jnp.floor(ix).astype(jnp.int32)
+    y0 = jnp.floor(iy).astype(jnp.int32)
+    xlo, xhi = _corner_cover(x0, w)
+    ylo, yhi = _corner_cover(y0, h)
+    xlo_t = _tile_minmax(xlo.reshape(n, h, w), _TILE)[0]
+    xhi_t = _tile_minmax(xhi.reshape(n, h, w), _TILE)[1]
+    ylo_t = _tile_minmax(ylo.reshape(n, h, w), _TILE)[0]
+    yhi_t = _tile_minmax(yhi.reshape(n, h, w), _TILE)[1]
+    y_req = yhi_t - ylo_t + 1
+    x_req = xhi_t - (xlo_t // 8) * 8 + 1
+    return y_req, x_req
 
 
 def _auto_interpret(interpret: bool | None) -> bool:

@@ -57,11 +57,58 @@ def _to_fp16(tree):
     )
 
 
+import contextlib
+import fcntl
+
+
+@contextlib.contextmanager
+def _writer_lock(directory: str):
+    """Exclusive advisory lock on `<directory>/.lock`: a second concurrent
+    writer raises instead of silently interleaving stale weights into the
+    committed artifact (round-4 incident: a reparented stale trainer kept
+    overwrite-saving into assets/bench_ckpt after its wrapper was killed —
+    CLAUDE.md round-4 lessons)."""
+    os.makedirs(directory, exist_ok=True)
+    fd = os.open(os.path.join(directory, ".lock"), os.O_CREAT | os.O_RDWR)
+    try:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError as e:
+            holder = b""
+            try:
+                holder = os.pread(fd, 64, 0)
+            except OSError:
+                pass
+            raise RuntimeError(
+                f"bench-ckpt writer lock held (pid {holder.decode(errors='replace').strip() or '?'}) "
+                f"for {directory}; kill the stale writer first"
+            ) from e
+        os.ftruncate(fd, 0)
+        os.pwrite(fd, str(os.getpid()).encode(), 0)
+        yield
+    finally:
+        os.close(fd)
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    """Write-to-temp + rename-into-place: a crash mid-save can never tear
+    a checkpoint file readers are loading."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def save_bench_ckpt(
     directory: str, unet_vars, lfae_vars, cond, ref=None, meta: dict | None = None
 ) -> None:
     """Write unet (full) + lfae generator subtree + cond vector (+ optional
-    reference frame and meta, e.g. the training objective)."""
+    reference frame and meta, e.g. the training objective). Every file is
+    written atomically under an exclusive writer lock."""
+    import io
+
     from flax.serialization import msgpack_serialize
 
     os.makedirs(directory, exist_ok=True)
@@ -79,22 +126,28 @@ def save_bench_ckpt(
         }
         for col in ("params", "batch_stats")
     }
-    with open(os.path.join(directory, _UNET), "wb") as f:
-        f.write(msgpack_serialize(_to_fp16(jax.device_get(unet_vars))))
-    with open(os.path.join(directory, _GEN), "wb") as f:
-        f.write(msgpack_serialize(_to_fp16(jax.device_get(gen_sub))))
-    np.save(
-        os.path.join(directory, _COND),
-        np.asarray(jax.device_get(cond), np.float32),
-    )
-    if ref is not None:
-        np.save(
-            os.path.join(directory, _REF),
-            np.asarray(jax.device_get(ref), np.float32),
+    def npy_bytes(arr) -> bytes:
+        buf = io.BytesIO()
+        np.save(buf, np.asarray(jax.device_get(arr), np.float32))
+        return buf.getvalue()
+
+    with _writer_lock(directory):
+        _atomic_write(
+            os.path.join(directory, _UNET),
+            msgpack_serialize(_to_fp16(jax.device_get(unet_vars))),
         )
-    if meta is not None:
-        with open(os.path.join(directory, _META), "w") as f:
-            json.dump(meta, f, indent=1)
+        _atomic_write(
+            os.path.join(directory, _GEN),
+            msgpack_serialize(_to_fp16(jax.device_get(gen_sub))),
+        )
+        _atomic_write(os.path.join(directory, _COND), npy_bytes(cond))
+        if ref is not None:
+            _atomic_write(os.path.join(directory, _REF), npy_bytes(ref))
+        if meta is not None:
+            _atomic_write(
+                os.path.join(directory, _META),
+                json.dumps(meta, indent=1).encode(),
+            )
 
 
 def load_bench_ckpt(directory: str, unet_template, lfae_template):

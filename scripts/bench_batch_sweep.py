@@ -73,7 +73,16 @@ def main() -> None:
         cond1 = jnp.asarray(loaded.cond)[None]
         if loaded.ref is not None:
             ref1 = jnp.asarray(loaded.ref)[None]
-        if loaded.meta["objective"] != cfg.diffusion.objective:
+        # checkpoint-adaptive warp windows + per-scale cap, like bench.py
+        from cvpr23_lfdm_tpu.ops.warp_pallas import configure_windows_from_meta
+
+        configure_windows_from_meta(loaded.meta)
+        rebuild = loaded.meta["objective"] != cfg.diffusion.objective
+        if loaded.meta.get("tiled_max_res") is not None:
+            cfg = cfg.replace(lfae=dataclasses.replace(
+                cfg.lfae, warp_tiled_max_res=int(loaded.meta["tiled_max_res"])))
+            rebuild = True
+        if rebuild:
             cfg = cfg.replace(diffusion=dataclasses.replace(
                 cfg.diffusion, objective=loaded.meta["objective"]))
             model = FlowDiffusion(cfg.lfae, cfg.diffusion)

@@ -97,13 +97,75 @@ def flat4(image, grid):
     )
 
 
+def per_scale(args) -> None:
+    """Tiled vs XLA-gather decode warp at EVERY generator decode scale
+    (the per-(scale, channels) pairs `_decode_warp_stack` actually warps:
+    32^2x256 bottleneck, 64^2x128 skip, 128^2x67 skip+source pack), on
+    smooth window-fitting flows. Decides the shipped per-scale winner
+    (LFAEConfig.warp_tiled_max_res) with data — VERDICT r4 item 2."""
+    from cvpr23_lfdm_tpu.ops.warp import grid_sample
+    from cvpr23_lfdm_tpu.ops.warp_pallas import (
+        configure_windows_from_meta, tiled_fit, warp_video_tiled,
+    )
+    from cvpr23_lfdm_tpu.utils.profiling import time_fn
+
+    # measure with the windows serving would actually run (checkpoint-
+    # adaptive when the bench ckpt carries them)
+    meta_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "bench_ckpt", "meta.json",
+    )
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            configure_windows_from_meta(json.load(fh))
+
+    b, f = args.batch, args.frames
+    key = jax.random.PRNGKey(0)
+    table = {}
+    for s, c in ((32, 256), (64, 128), (128, 67)):
+        image = jax.random.normal(key, (b, s, s, c), jnp.bfloat16)
+        lin = jnp.linspace(-1.0, 1.0, s)
+        gy, gx = jnp.meshgrid(lin, lin, indexing="ij")
+        base = jnp.stack([gx, gy], -1)[None, None]
+        coarse = 0.03 * jax.random.normal(key, (b, f, 8, 8, 2), jnp.float32)
+        disp = jax.image.resize(coarse, (b, f, s, s, 2), "linear")
+        g5 = base + disp
+        assert bool(jax.jit(tiled_fit)(image, g5)), s
+
+        def xla(im, g):
+            return grid_sample(im, g.reshape(b, f * s, s, 2)).astype(
+                jnp.float32).mean()
+
+        def tl(im, g):
+            return warp_video_tiled(im, g).astype(jnp.float32).mean()
+
+        row = {}
+        vals = {}
+        for name, fn in (("xla", xla), ("tiled", tl)):
+            compiled = jax.jit(fn).lower(image, g5).compile()
+            vals[name] = float(jax.device_get(compiled(image, g5)))
+            res = time_fn(compiled, image, g5, iters=8, warmup=2)
+            row[name] = round(res["median_s"] * 1e3, 2)
+        assert abs(vals["xla"] - vals["tiled"]) < 1e-3, (s, vals)
+        row["winner"] = "tiled" if row["tiled"] < row["xla"] else "xla"
+        table[str(s)] = row
+        print(json.dumps({"scale": s, "ch": c, **row}), flush=True)
+    print(json.dumps({"per_scale": table}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--ch", type=int, default=67)
+    ap.add_argument("--per-scale", action="store_true",
+                    help="tiled-vs-xla at every decode scale (32/64/128)")
     args = ap.parse_args()
+
+    if args.per_scale:
+        per_scale(args)
+        return
 
     from cvpr23_lfdm_tpu.ops.warp import grid_sample
     from cvpr23_lfdm_tpu.utils.profiling import time_fn

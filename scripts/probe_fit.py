@@ -1,22 +1,36 @@
-"""Measure the tiled-warp window margins of bench-ckpt sampled flows.
+"""Measure tiled-warp window margins of bench-ckpt sampled flows and
+write checkpoint-adaptive windows into the checkpoint's meta.json.
 
-Why: `assets/bench_ckpt`'s fit_report shows fit_rate 1.0 @32 but 0.0
-@64/128 — the single joint fit flag (generator.py:186-200) then routes
-the WHOLE decode to the XLA gather, so the headline never exercises the
-tiled MXU warp even with trained weights. The fit flag is all-or-nothing;
-this probe answers "by how much does it miss": it samples videos with the
-committed checkpoint and reports, per decode scale, the exact per-tile
-window requirement distribution (y-extent, and x-extent after the
-8-aligned-origin penalty, ops/warp_pallas.py:266-283) plus what-if fit
-rates for candidate window sizes. Output picks the smallest
-(_WIN_H, _WIN_W) that fits — or shows the samples are too rough and the
-checkpoint needs more training.
+Why: the tiled MXU decode warp (ops/warp_pallas.py) is exact only when
+every output tile's bilinear corner spread fits a static source window;
+the generator's joint fit flag (generator.py:_decode_core) otherwise
+routes the WHOLE decode to the XLA gather. Window size is a property of
+the trained model's flow statistics, so hardcoded constants go stale the
+moment the checkpoint changes (round-4: windows tuned on 4 probe videos
+of a 400-step checkpoint). This probe:
+
+1. samples `--probe-videos` videos with the committed checkpoint across
+   ALL dataset class conditionings (DDIM-10, the serving schedule);
+2. computes per-tile window requirements at every decode scale with the
+   kernel's OWN geometry helpers (`warp_pallas.tile_window_requirements`
+   — single source of truth, no reimplementation);
+3. picks per-scale windows = p100 requirement + headroom (+4 rows,
+   +8 cols rounded to the 8-lane alignment) and writes them to
+   `<ckpt>/meta.json["tiled_windows"]`, which `bench.py` / serving load
+   via `warp_pallas.configure_windows_from_meta` — windows travel WITH
+   the checkpoint;
+4. writes the full margin distribution to `<ckpt>/fit_margins.json`.
 
 Run on TPU (one sampler compile):  python scripts/probe_fit.py
+  [--probe-videos 32] [--ckpt assets/bench_ckpt]
+
+Flows being fit come from the pixelwise flow predictor the DM imitates
+(/root/reference/LFAE/modules/pixelwise_flow_predictor.py:104-131).
 """
 
 from __future__ import annotations
 
+import argparse
 import dataclasses
 import json
 import os
@@ -27,71 +41,53 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-TILE = 16
 CANDS = [(24, 32), (32, 32), (32, 40), (40, 48), (48, 56), (64, 72)]
+PCTS = [50, 90, 99, 100]
 
 
-def tile_requirements(grid: np.ndarray, res: int) -> dict:
-    """Per-tile window requirements of `grid` [N, res, res, 2] in [-1, 1].
-
-    Mirrors ops/warp_pallas._tiled_geometry: valid-corner cover, per-tile
-    min/max, y window from the raw extent, x window after flooring the
-    origin to a multiple of 8 (the Mosaic sublane-alignment penalty).
-    """
-    n = grid.shape[0]
-    ix = ((grid[..., 0] + 1.0) * res - 1.0) * 0.5
-    iy = ((grid[..., 1] + 1.0) * res - 1.0) * 0.5
-    x0 = np.floor(ix).astype(np.int64)
-    y0 = np.floor(iy).astype(np.int64)
-
-    def cover(c0):
-        big, small = res * 4, -1
-        v0 = np.where((c0 >= 0) & (c0 <= res - 1), c0, big)
-        v1 = np.where((c0 + 1 >= 0) & (c0 + 1 <= res - 1), c0 + 1, big)
-        lo = np.minimum(v0, v1)
-        v0 = np.where((c0 >= 0) & (c0 <= res - 1), c0, small)
-        v1 = np.where((c0 + 1 >= 0) & (c0 + 1 <= res - 1), c0 + 1, small)
-        hi = np.maximum(v0, v1)
-        return lo, hi
-
-    xlo, xhi = cover(x0)
-    ylo, yhi = cover(y0)
-    nt = res // TILE
-
-    def tmin(v):
-        return v.reshape(n, nt, TILE, nt, TILE).min(axis=(2, 4))
-
-    def tmax(v):
-        return v.reshape(n, nt, TILE, nt, TILE).max(axis=(2, 4))
-
-    # required extents per tile (window must be >= extent)
-    y_req = (tmax(yhi) - tmin(ylo) + 1).ravel()
-    x_req = (tmax(xhi) - (tmin(xlo) // 8) * 8 + 1).ravel()
-    q = [50, 90, 99, 100]
+def summarize(y_req: np.ndarray, x_req: np.ndarray, n_videos: int) -> dict:
+    """Requirement percentiles + what-if per-video fit rates."""
+    y = y_req.reshape(n_videos, -1)
+    x = x_req.reshape(n_videos, -1)
     return {
-        "y_req_pct": {str(p): float(np.percentile(y_req, p)) for p in q},
-        "x_req_pct": {str(p): float(np.percentile(x_req, p)) for p in q},
+        "y_req_pct": {str(p): float(np.percentile(y, p)) for p in PCTS},
+        "x_req_pct": {str(p): float(np.percentile(x, p)) for p in PCTS},
         "fit_rate_per_video": {
             f"{wh}x{ww}": float(
-                np.mean(
-                    (
-                        (y_req.reshape(n, -1) <= wh)
-                        & (x_req.reshape(n, -1) <= ww)
-                    ).all(axis=1)
-                )
+                np.mean(((y <= wh) & (x <= ww)).all(axis=1))
             )
             for wh, ww in CANDS
         },
     }
 
 
+def choose_window(y_req: np.ndarray, x_req: np.ndarray, res: int) -> tuple[int, int]:
+    """p100 requirement + headroom: +4 rows, +8 cols, cols rounded up to
+    the 8-lane alignment, clamped to the frame. Round-4 lesson: the
+    64-scale exact-fit window (x p100 == window cols) left ZERO headroom —
+    one marginally rougher flow flips the all-or-nothing fit flag and the
+    entire decode silently pays the 85 ms gather."""
+    wh = min(int(y_req.max()) + 4, res)
+    ww = min(int(-(-(int(x_req.max()) + 8) // 8) * 8), res)
+    return wh, ww
+
+
 def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--probe-videos", type=int, default=32)
+    ap.add_argument("--ckpt", default=os.path.join(REPO, "assets", "bench_ckpt"))
+    ap.add_argument("--seed", type=int, default=1000)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
     from cvpr23_lfdm_tpu.config import mug_config
+    from cvpr23_lfdm_tpu.data import get_spec
     from cvpr23_lfdm_tpu.diffusion.flow_diffusion import FlowDiffusion
     from cvpr23_lfdm_tpu.models.flow_autoenc import init_lfae_vars
+    from cvpr23_lfdm_tpu.ops.resize import resize_bilinear
+    from cvpr23_lfdm_tpu.ops.warp_pallas import tile_window_requirements
     from cvpr23_lfdm_tpu.utils.bench_ckpt import load_bench_ckpt
 
     cfg = mug_config()
@@ -105,17 +101,28 @@ def main() -> None:
     lfae_vars = init_lfae_vars(k_lfae, cfg.lfae)
     model0 = FlowDiffusion(cfg.lfae, cfg.diffusion)
     unet_vars = model0.init_unet_vars(k_unet, batch=1)
-    loaded = load_bench_ckpt(
-        os.path.join(REPO, "assets", "bench_ckpt"), unet_vars, lfae_vars
-    )
-    assert loaded is not None, "assets/bench_ckpt missing"
+    loaded = load_bench_ckpt(args.ckpt, unet_vars, lfae_vars)
+    assert loaded is not None, f"{args.ckpt} missing"
     unet_vars, lfae_vars = loaded.unet_vars, loaded.lfae_vars
-    cond = jnp.asarray(loaded.cond)[None]
     ref = jnp.asarray(loaded.ref)[None]
     if loaded.meta["objective"] != cfg.diffusion.objective:
         cfg = cfg.replace(diffusion=dataclasses.replace(
             cfg.diffusion, objective=loaded.meta["objective"]))
     model = FlowDiffusion(cfg.lfae, cfg.diffusion)
+
+    # all class conditionings, round-robin (the checkpoint's cond.npy is
+    # class 0 only; trained flows vary by cond)
+    spec = get_spec("mug")
+    try:
+        from _common import load_text_embedder
+
+        embedder = load_text_embedder("mug", allow_random=True)
+        conds = np.asarray(embedder(list(spec.classes))[0], np.float32)
+    except Exception as e:
+        print(f"class-cond table unavailable ({e}); using ckpt cond only")
+        conds = np.asarray(loaded.cond)[None]
+    print(f"{len(conds)} class conds, {args.probe_videos} probe videos",
+          flush=True)
 
     def sample_grid(uv, lv, rng, ref, cond):
         out = model.sample_video(uv, lv, rng, ref, cond, cond_scale=1.0)
@@ -123,28 +130,55 @@ def main() -> None:
 
     jfn = jax.jit(sample_grid)
     grids = []
-    for i in range(4):
+    for i in range(args.probe_videos):
+        cond = jnp.asarray(conds[i % len(conds)])[None]
         g = np.asarray(jax.device_get(
-            jfn(unet_vars, lfae_vars, jax.random.PRNGKey(1000 + i), ref, cond)
+            jfn(unet_vars, lfae_vars, jax.random.PRNGKey(args.seed + i),
+                ref, cond)
         ), np.float32)
         b, f, gh, gw, _ = g.shape
         grids.append(g.reshape(b * f, gh, gw, 2))
-        print(f"sampled video {i}", flush=True)
+        if (i + 1) % 8 == 0 or i == 0:
+            print(f"sampled video {i + 1}/{args.probe_videos}", flush=True)
     g32 = np.concatenate(grids, 0)
+    n_videos = len(grids)
 
-    from cvpr23_lfdm_tpu.ops.resize import resize_bilinear
-
-    report = {}
-    for res in (64, 128):
-        # the EXACT resize the decode's `prep` uses (generator.py:151-160)
+    report, windows = {}, {}
+    s = cfg.lfae.frame_shape
+    d = cfg.lfae.generator.num_down_blocks
+    scales = [s // (2 ** (d - i)) for i in range(d + 1)]
+    jreq = {}
+    for res in scales:
+        if res <= 32:
+            continue  # whole-frame window: fit is structural
+        # the EXACT resize the decode's `prep` uses (generator.py:149-160)
         gr = np.asarray(jax.jit(
             lambda g, r=res: resize_bilinear(g, (r, r))
         )(jnp.asarray(g32)))
-        report[str(res)] = tile_requirements(gr, res)
+        gr5 = jnp.asarray(gr).reshape(n_videos, -1, res, res, 2)
+        y_req, x_req = (np.asarray(v) for v in jax.jit(
+            tile_window_requirements
+        )(gr5))
+        report[str(res)] = summarize(y_req, x_req, n_videos)
+        windows[str(res)] = list(choose_window(y_req, x_req, res))
+        report[str(res)]["chosen_window"] = windows[str(res)]
+
+    report["probe_videos"] = args.probe_videos
+    report["conds"] = len(conds)
     print(json.dumps(report, indent=1))
-    with open(os.path.join(REPO, "assets", "bench_ckpt",
-                           "fit_margins.json"), "w") as fh:
+    with open(os.path.join(args.ckpt, "fit_margins.json"), "w") as fh:
         json.dump(report, fh, indent=1)
+
+    # windows travel with the checkpoint: merge into meta.json
+    meta_path = os.path.join(args.ckpt, "meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+    meta["tiled_windows"] = windows
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    print(f"windows {windows} -> {meta_path}")
 
 
 if __name__ == "__main__":

@@ -86,3 +86,51 @@ def test_bench_ckpt_roundtrip_and_graft(tmp_path):
 
     os.remove(os.path.join(d, "cond.npy"))
     assert load_bench_ckpt(d, unet_tmpl, lfae_tmpl) is None
+
+
+def test_save_bench_ckpt_writer_lock_and_atomicity(tmp_path):
+    """A second concurrent writer raises instead of interleaving stale
+    weights (round-4 stale-process incident); no temp files survive a
+    completed save."""
+    import os
+
+    from cvpr23_lfdm_tpu.utils.bench_ckpt import (
+        _writer_lock, save_bench_ckpt,
+    )
+
+    rng = np.random.default_rng(3)
+    lfae = _tree(rng)
+    unet = {"params": {"conv": {"k": rng.standard_normal((2, 2)).astype(np.float32)}}}
+    cond = rng.standard_normal((4,)).astype(np.float32)
+    d = str(tmp_path / "ck")
+
+    save_bench_ckpt(d, unet, lfae, cond, meta={"objective": "x0"})
+    assert not [f for f in os.listdir(d) if ".tmp." in f]
+
+    # flock is per-open-file-description, so simulate the second writer in
+    # a child process holding the lock
+    import multiprocessing as mp
+
+    def hold(lock_dir, started, release):
+        from cvpr23_lfdm_tpu.utils.bench_ckpt import _writer_lock as wl
+
+        with wl(lock_dir):
+            started.set()
+            release.wait(timeout=30)
+
+    ctx = mp.get_context("fork")
+    started, release = ctx.Event(), ctx.Event()
+    p = ctx.Process(target=hold, args=(d, started, release))
+    p.start()
+    try:
+        assert started.wait(timeout=30)
+        import pytest
+
+        with pytest.raises(RuntimeError, match="writer lock held"):
+            save_bench_ckpt(d, unet, lfae, cond)
+    finally:
+        release.set()
+        p.join(timeout=30)
+
+    # lock released -> saving works again
+    save_bench_ckpt(d, unet, lfae, cond)

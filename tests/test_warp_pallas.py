@@ -156,9 +156,10 @@ def test_warp_gather_previous_blend(data):
 
 
 def test_warp_video_tiled_big_windows():
-    """The per-resolution windows (round 4: 32x32 @64, 40x48 @128 — sized
-    from trained-flow margins, scripts/probe_fit.py) fit flows the old
-    24x32 window rejected, and stay exactly grid_sample."""
+    """The per-resolution default windows (32x40 @64 incl. one col-vreg of
+    headroom, 40x48 @128 — sized from trained-flow margins,
+    scripts/probe_fit.py) fit flows the old 24x32 window rejected, and
+    stay exactly grid_sample."""
     from cvpr23_lfdm_tpu.ops.warp_pallas import _tiled_geometry, warp_video
 
     rng = np.random.default_rng(11)
@@ -170,7 +171,7 @@ def test_warp_video_tiled_big_windows():
         _, _, fit, (wh, ww, _, _) = _tiled_geometry(
             jnp.asarray(img), jnp.asarray(g5)
         )
-        assert (wh, ww) == ((32, 32) if h == 64 else (40, 48))
+        assert (wh, ww) == ((32, 40) if h == 64 else (40, 48))
         assert bool(fit), h
         out = warp_video(jnp.asarray(img), jnp.asarray(g5), interpret=True)
         ref = grid_sample(
@@ -218,3 +219,95 @@ def test_warp_video_fit_boundary():
         np.testing.assert_allclose(
             np.asarray(out).reshape(b, f * h, w, c), np.asarray(ref), atol=2e-5
         )
+
+
+def test_requirements_match_fit_flag():
+    """`tile_window_requirements` is the probe's single source of truth:
+    for any candidate window, all-tiles (y_req<=wh)&(x_req<=ww) equals the
+    kernel's own `tiled_fit` with that window installed — incl. that the
+    geometry's origin clipping never changes fit (ADVICE r4 item 3)."""
+    from cvpr23_lfdm_tpu.ops.warp_pallas import (
+        set_windows, tile_window_requirements, tiled_fit,
+    )
+
+    rng = np.random.default_rng(21)
+    b, f, h, w = 1, 2, 64, 64
+    try:
+        for jitter in (0.02, 0.08, 0.2, 0.6):
+            g5 = jnp.asarray(_grid5(rng, b, f, h, w, jitter=jitter))
+            y_req, x_req = (np.asarray(v) for v in tile_window_requirements(g5))
+            for wh, ww in ((24, 32), (32, 40), (40, 48), (64, 64)):
+                want = bool((y_req <= wh).all() and (x_req <= ww).all())
+                set_windows({h: (wh, ww)})
+                got = bool(tiled_fit(jnp.zeros((b, h, w, 1)), g5))
+                assert got == want, (jitter, wh, ww, want)
+    finally:
+        set_windows(None)
+
+
+def test_set_windows_override_and_defaults():
+    from cvpr23_lfdm_tpu.ops.warp_pallas import _window_for, set_windows
+
+    try:
+        set_windows({128: (48, 56)})
+        assert _window_for(128, 128) == (48, 56)
+        assert _window_for(64, 64) == (32, 40)  # defaults untouched
+    finally:
+        set_windows(None)
+    assert _window_for(128, 128) == (40, 48)
+
+
+def test_configure_windows_from_meta():
+    from cvpr23_lfdm_tpu.ops.warp_pallas import (
+        _window_for, configure_windows_from_meta, set_windows,
+    )
+
+    try:
+        configure_windows_from_meta({"tiled_windows": {"64": [40, 48]}})
+        assert _window_for(64, 64) == (40, 48)
+        configure_windows_from_meta({})  # key absent: no-op
+        assert _window_for(64, 64) == (40, 48)
+    finally:
+        set_windows(None)
+
+
+def test_window_clamped_to_narrow_frame():
+    """h>64 frame narrower than the big window: the clamped window keeps
+    warp_video traceable and value-correct (ADVICE r4 medium: the
+    unclamped (40,48) slice failed at trace time for w=32)."""
+    from cvpr23_lfdm_tpu.ops.warp_pallas import _window_for, warp_video
+
+    h, w = 128, 32
+    wh, ww = _window_for(h, w)
+    assert wh <= h and ww <= w and ww % 8 == 0
+    rng = np.random.default_rng(22)
+    b, f, c = 1, 1, 3
+    img = rng.random((b, h, w, c)).astype(np.float32)
+    g5 = _grid5(rng, b, f, h, w, jitter=0.03)
+    out = warp_video(jnp.asarray(img), jnp.asarray(g5), interpret=True)
+    ref = grid_sample(jnp.asarray(img), jnp.asarray(g5).reshape(b, f * h, w, 2))
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(b, f * h, w, c), np.asarray(ref), atol=1e-5
+    )
+
+
+def test_decode_fit_flags_reports_branch():
+    """FlowDiffusion.decode_fit_flags mirrors the generator's joint-fit
+    cond per decode scale: smooth sampled flows -> all True; wild flows ->
+    False at the windowed scales, True at the structural 32 scale."""
+    from cvpr23_lfdm_tpu.config import mug_config
+    from cvpr23_lfdm_tpu.diffusion.flow_diffusion import FlowDiffusion
+
+    cfg = mug_config()
+    model = FlowDiffusion(cfg.lfae, cfg.diffusion)
+    rng = np.random.default_rng(31)
+    b, f = 1, 2
+    smooth = jnp.asarray(_grid5(rng, b, f, 32, 32, jitter=0.02))
+    flags = {k: bool(v) for k, v in model.decode_fit_flags(smooth).items()}
+    assert set(flags) == {"32", "64", "128"}
+    assert all(flags.values()), flags
+    wild = jnp.asarray(
+        (2.0 * rng.random((b, f, 32, 32, 2)) - 1.0).astype(np.float32)
+    )
+    flags = {k: bool(v) for k, v in model.decode_fit_flags(wild).items()}
+    assert flags["32"] and not flags["64"] and not flags["128"], flags
