@@ -145,7 +145,17 @@ def main() -> None:
             cfg = cfg.replace(diffusion=dataclasses.replace(
                 cfg.diffusion, objective=loaded.meta["objective"]))
             model = FlowDiffusion(cfg.lfae, cfg.diffusion)
+        # CRITICAL: the loaded checkpoint is host numpy; jitted calls
+        # device_put numpy args on EVERY dispatch, so without this the
+        # headline re-uploads ~300 MB of fp32 params over the tunnel per
+        # video — the actual cause of BENCH_r04's 40x collapse (10.68 f/s;
+        # random-weight rounds were fast because init returns device
+        # arrays). Place once; calls then pass resident buffers.
+        unet_vars = jax.device_put(unet_vars)
+        lfae_vars = jax.device_put(lfae_vars)
         weights = "trained-synthetic"
+    ref_img = jax.device_put(ref_img)
+    cond = jax.device_put(cond)
 
     def sample(unet_vars, lfae_vars, rng, ref_img, cond):
         out = model.sample_video(
@@ -173,6 +183,15 @@ def main() -> None:
             compiled(unet_vars, lfae_vars, k_s, ref_img, cond)
         )
         return float(m), fits
+
+    # self-defense: every timed argument must be a device-resident
+    # jax.Array — a stray numpy leaf re-uploads itself per dispatch and
+    # silently turns the bench into a tunnel-bandwidth measurement
+    for tree in (unet_vars, lfae_vars, ref_img, cond):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            assert isinstance(leaf, jax.Array), (
+                f"host-resident bench arg leaf: {type(leaf)}"
+            )
 
     fit_flags = {}
     for _ in range(WARMUP):

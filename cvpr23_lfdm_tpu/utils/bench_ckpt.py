@@ -191,4 +191,12 @@ def load_bench_ckpt(directory: str, unet_template, lfae_template):
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta.update(json.load(f))
+    # Return DEVICE-RESIDENT weight trees: jitted calls silently device_put
+    # numpy args on EVERY dispatch, so host-resident weights turn each
+    # serving call into a ~300 MB host->device upload — the actual cause of
+    # the round-4 headline collapse (BENCH_r04: 10.68 f/s on a healthy
+    # tunnel; random-weight rounds were fast because init() returns device
+    # arrays). cond/ref stay numpy (tiny; callers wrap them once).
+    unet_vars = jax.device_put(unet_vars)
+    lfae_vars = jax.device_put(lfae_vars)
     return BenchCkpt(unet_vars, lfae_vars, cond, ref, meta)

@@ -94,16 +94,30 @@ def main() -> None:
             print("warning: no --dm-ckpt; RANDOM UNet weights (smoke mode)")
 
     if use_bench_ckpt:
+        from cvpr23_lfdm_tpu.ops.warp_pallas import configure_windows_from_meta
         from cvpr23_lfdm_tpu.utils.bench_ckpt import load_bench_ckpt
 
         loaded = load_bench_ckpt(bench_dir, unet_vars, lfae_vars)
         if loaded is not None:
             unet_vars, lfae_vars = loaded.unet_vars, loaded.lfae_vars
-            if loaded.meta["objective"] != cfg.diffusion.objective:
+            configure_windows_from_meta(loaded.meta)
+            rebuild = loaded.meta["objective"] != cfg.diffusion.objective
+            if loaded.meta.get("tiled_max_res") is not None:
+                cfg = cfg.replace(lfae=dataclasses.replace(
+                    cfg.lfae,
+                    warp_tiled_max_res=int(loaded.meta["tiled_max_res"]),
+                ))
+                rebuild = True
+            if rebuild:
                 cfg = cfg.replace(diffusion=dataclasses.replace(
                     cfg.diffusion, objective=loaded.meta["objective"]))
                 model = FlowDiffusion(cfg.lfae, cfg.diffusion)
             print(f"smoke mode: trained-synthetic weights from {bench_dir}")
+
+    # device-resident weights: host numpy args would re-upload the whole
+    # model over the tunnel on EVERY jitted serving call (BENCH_r04's 40x)
+    lfae_vars = jax.device_put(lfae_vars)
+    unet_vars = jax.device_put(unet_vars)
 
     if not args.ref_image:
         # bundled example (the reference ships demo/mug_examples/*.png and

@@ -47,6 +47,9 @@ def main() -> None:
         print("warning: no --lfae-ckpt; evaluating RANDOM weights (smoke mode)")
         lfae_vars = init_lfae_vars(jax.random.PRNGKey(0), cfg.lfae)
 
+    # device-resident weights: host numpy args re-upload per jitted call
+    lfae_vars = jax.device_put(lfae_vars)
+
     dataset = DMVideoDataset(
         get_spec(args.dataset), root, "test",
         num_frames=args.num_frames, image_size=cfg.lfae.frame_shape,

@@ -227,6 +227,10 @@ def main() -> None:
         return fits, disp
 
     jprobe = jax.jit(probe)
+    # device-resident copies for the probe loop (numpy args re-upload the
+    # whole model per jitted call over the tunnel)
+    unet_dev = jax.device_put(unet_vars)
+    lfae_dev = jax.device_put(lfae_vars)
     item0 = dm_ds[0]
     ref = jnp.asarray(item0["video"][None, 0])
     fit_counts = {32: 0, 64: 0, 128: 0}
@@ -234,7 +238,7 @@ def main() -> None:
     for i in range(args.probe_videos):
         fits, disp = jax.device_get(
             jprobe(
-                unet_vars, lfae_vars, jax.random.PRNGKey(1000 + i),
+                unet_dev, lfae_dev, jax.random.PRNGKey(1000 + i),
                 ref, jnp.asarray(cond_vec),
             )
         )

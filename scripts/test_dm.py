@@ -42,6 +42,13 @@ def main() -> None:
         "lin weights (eval/lpips.py); omitted = LPIPS skipped",
     )
     p.add_argument(
+        "--random-metric-weights", action="store_true",
+        help="run the FULL metric protocol (FVD/cFVD/sFVD + LPIPS) with "
+        "SEEDED RANDOM extractor weights: exercises the published-scale "
+        "pipeline end-to-end when the official I3D/LPIPS files are absent. "
+        "Values are reproducible but NOT comparable to published numbers",
+    )
+    p.add_argument(
         "--mean", type=float, nargs=3, default=(0.0, 0.0, 0.0),
         help="per-channel pixel mean, 0-255 scale (reference MEAN constant; "
         "every reference script uses (0,0,0))",
@@ -99,6 +106,11 @@ def main() -> None:
         print("warning: no --dm-ckpt; RANDOM UNet weights (smoke mode)")
         unet_vars = model.init_unet_vars(jax.random.PRNGKey(1))
 
+    # device-resident weights: host numpy args would re-upload the whole
+    # model over the tunnel on EVERY jitted eval call (BENCH_r04's 40x)
+    lfae_vars = jax.device_put(lfae_vars)
+    unet_vars = jax.device_put(unet_vars)
+
     embedder = load_text_embedder(args)
     dataset = DMVideoDataset(
         get_spec(args.dataset), root, "test", combos=True,
@@ -149,6 +161,21 @@ def main() -> None:
         lpips_fn = make_lpips(
             convert_vgg16_features(feat_sd), convert_lpips_lin(lin_sd)
         )
+    if args.random_metric_weights:
+        if fvd_extract is None:
+            from cvpr23_lfdm_tpu.eval.i3d import i3d_extractor, random_i3d_vars
+
+            fvd_extract = i3d_extractor(
+                random_i3d_vars(jax.random.PRNGKey(1234))
+            )
+        if lpips_fn is None:
+            from cvpr23_lfdm_tpu.eval.lpips import random_lpips_for_testing
+
+            lpips_fn = random_lpips_for_testing(jax.random.PRNGKey(1235))
+        print(
+            "metric extractors: SEEDED RANDOM weights (protocol smoke; "
+            "values reproducible, NOT comparable to published numbers)"
+        )
 
     out_dir = os.path.join(args.log_dir, "dm_test")
     os.makedirs(out_dir, exist_ok=True)
@@ -156,6 +183,11 @@ def main() -> None:
     rec_losses, warp_losses, psnrs, ssims = [], [], [], []
     lpips_vals, real_set, fake_set = [], [], []
     classes, subjects = [], []  # grouping keys for cFVD / sFVD
+    fit_counts: dict[str, int] = {}  # tiled-warp branch taken, per scale
+    report_fits = resolve_warp_impl(args) == "tiled"
+    # one jit wrapper for the whole loop (a fresh jax.jit per video would
+    # recompile each iteration — remote compiles are seconds each)
+    fit_fn = jax.jit(model.decode_fit_flags) if report_fits else None
     n = min(args.num_videos, len(dataset))
 
     sharded_out = None
@@ -193,6 +225,11 @@ def main() -> None:
             out = {k: v[i : i + 1] for k, v in sharded_out.items()}
         else:
             out = jax.device_get(sample(unet_vars, lfae_vars, k2, ref, cond))
+        if report_fits:
+            # which warp branch did this decode take? (generator joint fit)
+            flags = jax.device_get(fit_fn(jnp.asarray(out["vid_grid"])))
+            for k, v in flags.items():
+                fit_counts[k] = fit_counts.get(k, 0) + int(v)
         rec_losses.append(float(aux["rec_loss"]))
         warp_losses.append(float(aux["rec_warp_loss"]))
         psnrs.append(float(psnr(vid, jnp.asarray(out["out_vid"]))))
@@ -236,6 +273,11 @@ def main() -> None:
         cfvd, _ = fvd.grouped(real_arr, fake_arr, classes, classes)
         sfvd, _ = fvd.grouped(real_arr, fake_arr, subjects, subjects)
         line += f" cfvd {cfvd:.2f} sfvd {sfvd:.2f}"
+    if report_fits:
+        line += (
+            " tiled_fit "
+            + "/".join(f"{k}:{v}of{n}" for k, v in sorted(fit_counts.items()))
+        )
     print(line)
 
 
