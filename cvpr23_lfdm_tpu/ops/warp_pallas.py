@@ -165,7 +165,20 @@ def warp_fits(h: int, w: int) -> bool:
 # to the patch-gather when a tile's corner spread exceeds the window
 # (`warp_video` wraps both in `lax.cond`).
 
-_TILE = 16      # output tile edge (T = 256 pixels per tile)
+_TILE = 16      # default output tile edge (T = 256 pixels per tile)
+
+# Checkpoint-adaptive tile SHAPES: {resolution h -> (tile_h, tile_w)}.
+# The window requirement scales ~linearly with tile extent (per-tile corner
+# spread ≈ tile·(1+|∂flow|) + roughness), while total MXU work is
+# HW·S·C — linear in window AREA and independent of tile size — so a
+# checkpoint whose flows demand huge 16x16-tile windows can trade tile
+# extent for window area. Keep T = th·tw >= 128 (the matmul's M dim):
+# T=64 pads the lane axis to 128 and halves effective MXU throughput.
+_TILE_OVERRIDES: dict[int, tuple[int, int]] = {}
+
+
+def _tile_for(h: int) -> tuple[int, int]:
+    return _TILE_OVERRIDES.get(h, (_TILE, _TILE))
 
 # Per-resolution source windows (rows, cols): rows unrestricted (dim-0
 # slice), cols 8-aligned origin (sublane slice), so the col requirement
@@ -203,12 +216,28 @@ def set_windows(mapping: dict[int, tuple[int, int]] | None) -> None:
     warp_video_tiled.clear_cache()
 
 
+def set_tiles(mapping: dict[int, tuple[int, int]] | None) -> None:
+    """Install per-resolution tile-shape overrides ({h: (th, tw)}; None
+    clears). Both extents must divide the frame dims they tile and th*tw
+    should be >= 128 (lane-axis fill of the one-hot matmul). Same trace-
+    time caveat as `set_windows`."""
+    _TILE_OVERRIDES.clear()
+    if mapping:
+        for h, (th, tw) in mapping.items():
+            assert th >= 2 and tw >= 2, (th, tw)
+            _TILE_OVERRIDES[int(h)] = (int(th), int(tw))
+    warp_video_tiled.clear_cache()
+
+
 def configure_windows_from_meta(meta: dict | None) -> None:
-    """Apply a bench-checkpoint meta dict's `tiled_windows` entry
-    ({"64": [32, 40], ...}); windows then travel with the checkpoint
-    instead of being hardcoded here (no-op when the key is absent)."""
+    """Apply a bench-checkpoint meta dict's `tiled_windows` (+ optional
+    `tiled_tiles`) entries ({"64": [32, 40], ...}); windows/tiles then
+    travel with the checkpoint instead of being hardcoded here (no-op when
+    the keys are absent)."""
     if meta and "tiled_windows" in meta:
         set_windows({int(k): tuple(v) for k, v in meta["tiled_windows"].items()})
+    if meta and "tiled_tiles" in meta:
+        set_tiles({int(k): tuple(v) for k, v in meta["tiled_tiles"].items()})
 
 
 def _window_for(h: int, w: int) -> tuple[int, int]:
@@ -225,8 +254,8 @@ def _window_for(h: int, w: int) -> tuple[int, int]:
 
 
 def _tiled_kernel(origin_ref, cpack_ref, src_ref, out_ref, *, h, w, c,
-                  wh, ww, tile):
-    t = tile * tile
+                  wh, ww, th, tw):
+    t = th * tw
     j = pl.program_id(1)
     oy = origin_ref[0, j, 0]
     # stored as ox//8: the *8 lets Mosaic prove the sublane-dim slice
@@ -255,13 +284,13 @@ def _tiled_kernel(origin_ref, cpack_ref, src_ref, out_ref, *, h, w, c,
         a, win2, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                      # [T, C]
-    out_ref[0] = out.reshape(tile, tile, c).astype(out_ref.dtype)
+    out_ref[0] = out.reshape(th, tw, c).astype(out_ref.dtype)
 
 
-def _tile_minmax(v, tile):
-    """Per-tile min & max over `[N, H, W]` -> two `[N, H//tile, W//tile]`."""
+def _tile_minmax(v, th, tw):
+    """Per-tile min & max over `[N, H, W]` -> two `[N, H//th, W//tw]`."""
     n, h, w = v.shape
-    r = v.reshape(n, h // tile, tile, w // tile, tile)
+    r = v.reshape(n, h // th, th, w // tw, tw)
     return r.min(axis=(2, 4)), r.max(axis=(2, 4))
 
 
@@ -289,16 +318,17 @@ def _corner_cover(c0, size):
 
 
 def tiled_supported(h: int, w: int) -> bool:
-    return h % _TILE == 0 and w % _TILE == 0 and h >= 2 and w >= 2
+    th, tw = _tile_for(h)
+    return h % th == 0 and w % tw == 0 and h >= 2 and w >= 2
 
 
 def _tiled_geometry(image, grid5):
     """Shared preamble: packed per-tile coords, window origins, fit flag."""
     b, f, h, w, _ = grid5.shape
-    tile = _TILE
+    th, tw = _tile_for(h)
     full = h <= 32  # window == whole frame: always fits, origins zero
     wh, ww = _window_for(h, w)
-    nty, ntx = h // tile, w // tile
+    nty, ntx = h // th, w // tw
     ntiles = nty * ntx
     n = b * f
 
@@ -308,8 +338,8 @@ def _tiled_geometry(image, grid5):
 
     # [N, ntiles, 2, T] packed tile-local coords (rows: ix, iy)
     def pack(v):
-        r = v.reshape(n, nty, tile, ntx, tile)
-        return r.transpose(0, 1, 3, 2, 4).reshape(n, ntiles, tile * tile)
+        r = v.reshape(n, nty, th, ntx, tw)
+        return r.transpose(0, 1, 3, 2, 4).reshape(n, ntiles, th * tw)
 
     cpack = jnp.stack([pack(ix), pack(iy)], axis=2)
 
@@ -320,10 +350,10 @@ def _tiled_geometry(image, grid5):
 
     xlo, xhi = _corner_cover(x0, w)
     ylo, yhi = _corner_cover(y0, h)
-    xlo_t = _tile_minmax(xlo.reshape(n, h, w), tile)[0]
-    xhi_t = _tile_minmax(xhi.reshape(n, h, w), tile)[1]
-    ylo_t = _tile_minmax(ylo.reshape(n, h, w), tile)[0]
-    yhi_t = _tile_minmax(yhi.reshape(n, h, w), tile)[1]
+    xlo_t = _tile_minmax(xlo.reshape(n, h, w), th, tw)[0]
+    xhi_t = _tile_minmax(xhi.reshape(n, h, w), th, tw)[1]
+    ylo_t = _tile_minmax(ylo.reshape(n, h, w), th, tw)[0]
+    yhi_t = _tile_minmax(yhi.reshape(n, h, w), th, tw)[1]
     # x origin 8-aligned (clean sublane slice); y origin unrestricted.
     # ox stored divided by 8 so the kernel can multiply it back and give
     # Mosaic a provably-aligned slice start.
@@ -336,7 +366,9 @@ def _tiled_geometry(image, grid5):
     return cpack, origins, fit, (wh, ww, nty, ntx)
 
 
-def tile_window_requirements(grid5: jnp.ndarray):
+def tile_window_requirements(
+    grid5: jnp.ndarray, tile: tuple[int, int] | None = None
+):
     """Per-tile window extents the tiled kernel needs for `grid5`
     `[B, F, H, W, 2]`: returns `(y_req, x_req)`, each `[B*F, nty, ntx]`.
 
@@ -348,18 +380,22 @@ def tile_window_requirements(grid5: jnp.ndarray):
     requirement includes the 8-aligned-origin penalty. (`_tiled_geometry`
     additionally clips origins to the image — for any window that
     satisfies these requirements the clip provably cannot un-fit a tile,
-    see test_warp_pallas.py's requirements-vs-fit regression.)"""
+    see test_warp_pallas.py's requirements-vs-fit regression.)
+
+    `tile`: (th, tw) to probe a candidate tile shape; None = the shape
+    `_tiled_geometry` would use at this resolution."""
     b, f, h, w, _ = grid5.shape
+    th, tw = _tile_for(h) if tile is None else tile
     n = b * f
     ix, iy = _coords_f32(grid5.reshape(n, h, w, 2), h, w)
     x0 = jnp.floor(ix).astype(jnp.int32)
     y0 = jnp.floor(iy).astype(jnp.int32)
     xlo, xhi = _corner_cover(x0, w)
     ylo, yhi = _corner_cover(y0, h)
-    xlo_t = _tile_minmax(xlo.reshape(n, h, w), _TILE)[0]
-    xhi_t = _tile_minmax(xhi.reshape(n, h, w), _TILE)[1]
-    ylo_t = _tile_minmax(ylo.reshape(n, h, w), _TILE)[0]
-    yhi_t = _tile_minmax(yhi.reshape(n, h, w), _TILE)[1]
+    xlo_t = _tile_minmax(xlo.reshape(n, h, w), th, tw)[0]
+    xhi_t = _tile_minmax(xhi.reshape(n, h, w), th, tw)[1]
+    ylo_t = _tile_minmax(ylo.reshape(n, h, w), th, tw)[0]
+    yhi_t = _tile_minmax(yhi.reshape(n, h, w), th, tw)[1]
     y_req = yhi_t - ylo_t + 1
     x_req = xhi_t - (xlo_t // 8) * 8 + 1
     return y_req, x_req
@@ -393,14 +429,14 @@ def warp_video_tiled(
     assert tiled_supported(h, w), (h, w)
     assert image.shape == (b, h, w, c)
     interpret = _auto_interpret(interpret)
-    tile = _TILE
+    th, tw = _tile_for(h)
     cpack, origins, _, (wh, ww, nty, ntx) = _tiled_geometry(image, grid5)
     n = b * f
 
     kernel = functools.partial(
-        _tiled_kernel, h=h, w=w, c=c, wh=wh, ww=ww, tile=tile
+        _tiled_kernel, h=h, w=w, c=c, wh=wh, ww=ww, th=th, tw=tw
     )
-    t = tile * tile
+    t = th * tw
     out = pl.pallas_call(
         kernel,
         grid=(n, nty * ntx),
@@ -417,7 +453,7 @@ def warp_video_tiled(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile, tile, c),
+            (1, th, tw, c),
             lambda i, j: (i, j // ntx, j % ntx, 0),
             memory_space=pltpu.VMEM,
         ),

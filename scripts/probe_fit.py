@@ -77,6 +77,12 @@ def main() -> None:
     ap.add_argument("--probe-videos", type=int, default=32)
     ap.add_argument("--ckpt", default=os.path.join(REPO, "assets", "bench_ckpt"))
     ap.add_argument("--seed", type=int, default=1000)
+    ap.add_argument(
+        "--grids-cache", default="",
+        help="npz path: reuse sampled flow grids if present, else sample "
+        "on TPU and save here (the sampler compile is minutes; the "
+        "window/tile analysis is seconds and iterates offline)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -97,57 +103,83 @@ def main() -> None:
         ),
         diffusion=dataclasses.replace(cfg.diffusion, sampling_timesteps=10),
     )
-    k_lfae, k_unet = jax.random.split(jax.random.PRNGKey(0))
-    lfae_vars = init_lfae_vars(k_lfae, cfg.lfae)
-    model0 = FlowDiffusion(cfg.lfae, cfg.diffusion)
-    unet_vars = model0.init_unet_vars(k_unet, batch=1)
-    loaded = load_bench_ckpt(args.ckpt, unet_vars, lfae_vars)
-    assert loaded is not None, f"{args.ckpt} missing"
-    unet_vars, lfae_vars = loaded.unet_vars, loaded.lfae_vars
-    ref = jnp.asarray(loaded.ref)[None]
-    if loaded.meta["objective"] != cfg.diffusion.objective:
-        cfg = cfg.replace(diffusion=dataclasses.replace(
-            cfg.diffusion, objective=loaded.meta["objective"]))
-    model = FlowDiffusion(cfg.lfae, cfg.diffusion)
 
-    # all class conditionings, round-robin (the checkpoint's cond.npy is
-    # class 0 only; trained flows vary by cond)
-    spec = get_spec("mug")
-    try:
-        from _common import load_text_embedder
+    conds = None
+    if args.grids_cache and os.path.exists(args.grids_cache):
+        # offline re-analysis: no checkpoint/model/TPU needed
+        dat = np.load(args.grids_cache)
+        g32, n_videos = dat["grids"], int(dat["n_videos"])
+        print(f"reusing {n_videos} sampled videos from {args.grids_cache}")
+    else:
+        k_lfae, k_unet = jax.random.split(jax.random.PRNGKey(0))
+        lfae_vars = init_lfae_vars(k_lfae, cfg.lfae)
+        model0 = FlowDiffusion(cfg.lfae, cfg.diffusion)
+        unet_vars = model0.init_unet_vars(k_unet, batch=1)
+        loaded = load_bench_ckpt(args.ckpt, unet_vars, lfae_vars)
+        assert loaded is not None, f"{args.ckpt} missing"
+        unet_vars, lfae_vars = loaded.unet_vars, loaded.lfae_vars
+        ref = jnp.asarray(loaded.ref)[None]
+        if loaded.meta["objective"] != cfg.diffusion.objective:
+            cfg = cfg.replace(diffusion=dataclasses.replace(
+                cfg.diffusion, objective=loaded.meta["objective"]))
+        model = FlowDiffusion(cfg.lfae, cfg.diffusion)
 
-        embedder = load_text_embedder("mug", allow_random=True)
-        conds = np.asarray(embedder(list(spec.classes))[0], np.float32)
-    except Exception as e:
-        print(f"class-cond table unavailable ({e}); using ckpt cond only")
-        conds = np.asarray(loaded.cond)[None]
-    print(f"{len(conds)} class conds, {args.probe_videos} probe videos",
-          flush=True)
+        # all class conditionings, round-robin (the checkpoint's cond.npy
+        # is class 0 only; trained flows vary by cond)
+        spec = get_spec("mug")
+        try:
+            from _common import load_text_embedder
 
-    def sample_grid(uv, lv, rng, ref, cond):
-        out = model.sample_video(uv, lv, rng, ref, cond, cond_scale=1.0)
-        return out["vid_grid"]
+            embedder = load_text_embedder("mug", allow_random=True)
+            conds = np.asarray(embedder(list(spec.classes))[0], np.float32)
+        except Exception as e:
+            print(f"class-cond table unavailable ({e}); using ckpt cond only")
+            conds = np.asarray(loaded.cond)[None]
+        print(f"{len(conds)} class conds, {args.probe_videos} probe videos",
+              flush=True)
 
-    jfn = jax.jit(sample_grid)
-    grids = []
-    for i in range(args.probe_videos):
-        cond = jnp.asarray(conds[i % len(conds)])[None]
-        g = np.asarray(jax.device_get(
-            jfn(unet_vars, lfae_vars, jax.random.PRNGKey(args.seed + i),
-                ref, cond)
-        ), np.float32)
-        b, f, gh, gw, _ = g.shape
-        grids.append(g.reshape(b * f, gh, gw, 2))
-        if (i + 1) % 8 == 0 or i == 0:
-            print(f"sampled video {i + 1}/{args.probe_videos}", flush=True)
-    g32 = np.concatenate(grids, 0)
-    n_videos = len(grids)
+        def sample_grid(uv, lv, rng, ref, cond):
+            out = model.sample_video(uv, lv, rng, ref, cond, cond_scale=1.0)
+            return out["vid_grid"]
 
-    report, windows = {}, {}
+        jfn = jax.jit(sample_grid)
+        grids = []
+        for i in range(args.probe_videos):
+            cond = jnp.asarray(conds[i % len(conds)])[None]
+            g = np.asarray(jax.device_get(
+                jfn(unet_vars, lfae_vars, jax.random.PRNGKey(args.seed + i),
+                    ref, cond)
+            ), np.float32)
+            b, f, gh, gw, _ = g.shape
+            grids.append(g.reshape(b * f, gh, gw, 2))
+            if (i + 1) % 8 == 0 or i == 0:
+                print(f"sampled video {i + 1}/{args.probe_videos}", flush=True)
+        g32 = np.concatenate(grids, 0)
+        n_videos = len(grids)
+        if args.grids_cache:
+            np.savez_compressed(
+                args.grids_cache, grids=g32, n_videos=n_videos
+            )
+            print(f"saved grids -> {args.grids_cache}")
+
+    report, windows, tiles = {}, {}, {}
     s = cfg.lfae.frame_shape
     d = cfg.lfae.generator.num_down_blocks
     scales = [s // (2 ** (d - i)) for i in range(d + 1)]
-    jreq = {}
+    # the analysis is a handful of tiny reduction graphs — compile them on
+    # the LOCAL CPU backend (remote TPU compiles cost minutes each on this
+    # tunnel; the math is identical)
+    try:
+        cpu_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except Exception:
+        import contextlib
+
+        cpu_ctx = contextlib.nullcontext()
+    cpu_ctx.__enter__()  # rest of main is analysis + file IO
+    # tile-shape candidates: requirement scales ~linearly with tile extent
+    # while MXU work is linear in window AREA alone, so a smaller tile can
+    # buy a much smaller window. T = th*tw stays >= 128 (lane-axis fill).
+    TILE_CANDS = [(16, 16), (8, 16), (16, 8)]
     for res in scales:
         if res <= 32:
             continue  # whole-frame window: fit is structural
@@ -156,15 +188,33 @@ def main() -> None:
             lambda g, r=res: resize_bilinear(g, (r, r))
         )(jnp.asarray(g32)))
         gr5 = jnp.asarray(gr).reshape(n_videos, -1, res, res, 2)
-        y_req, x_req = (np.asarray(v) for v in jax.jit(
-            tile_window_requirements
-        )(gr5))
-        report[str(res)] = summarize(y_req, x_req, n_videos)
-        windows[str(res)] = list(choose_window(y_req, x_req, res))
-        report[str(res)]["chosen_window"] = windows[str(res)]
+        best = None
+        by_tile = {}
+        for cand in TILE_CANDS:
+            y_req, x_req = (np.asarray(v) for v in jax.jit(
+                tile_window_requirements, static_argnames="tile"
+            )(gr5, tile=cand))
+            win = choose_window(y_req, x_req, res)
+            entry = summarize(y_req, x_req, n_videos)
+            entry["chosen_window"] = list(win)
+            entry["mxu_cost_area"] = win[0] * win[1]
+            by_tile[f"{cand[0]}x{cand[1]}"] = entry
+            # minimize window area (= per-pixel MXU MACs); tie -> the
+            # larger tile (fewer kernel invocations)
+            key = (win[0] * win[1], -cand[0] * cand[1])
+            if best is None or key < best[0]:
+                best = (key, cand, win)
+        _, cand, win = best
+        report[str(res)] = by_tile
+        windows[str(res)] = list(win)
+        tiles[str(res)] = list(cand)
+        report[str(res)]["chosen"] = {
+            "tile": list(cand), "window": list(win),
+        }
 
-    report["probe_videos"] = args.probe_videos
-    report["conds"] = len(conds)
+    report["probe_videos"] = n_videos
+    if conds is not None:
+        report["conds"] = len(conds)
     print(json.dumps(report, indent=1))
     with open(os.path.join(args.ckpt, "fit_margins.json"), "w") as fh:
         json.dump(report, fh, indent=1)
@@ -176,9 +226,10 @@ def main() -> None:
         with open(meta_path) as fh:
             meta = json.load(fh)
     meta["tiled_windows"] = windows
+    meta["tiled_tiles"] = tiles
     with open(meta_path, "w") as fh:
         json.dump(meta, fh, indent=1)
-    print(f"windows {windows} -> {meta_path}")
+    print(f"windows {windows} tiles {tiles} -> {meta_path}")
 
 
 if __name__ == "__main__":

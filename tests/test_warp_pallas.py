@@ -311,3 +311,62 @@ def test_decode_fit_flags_reports_branch():
     )
     flags = {k: bool(v) for k, v in model.decode_fit_flags(wild).items()}
     assert flags["32"] and not flags["64"] and not flags["128"], flags
+
+
+def test_rect_tiles_match_grid_sample():
+    """Checkpoint-adaptive tile SHAPES: every T>=64 candidate stays exactly
+    grid_sample (incl. OOB zeros), and the window requirement shrinks
+    monotonically with tile extent along the shrunk axis."""
+    from cvpr23_lfdm_tpu.ops.warp_pallas import (
+        set_tiles, set_windows, tile_window_requirements, tiled_fit,
+        warp_video_tiled,
+    )
+
+    rng = np.random.default_rng(41)
+    b, f, h, w, c = 1, 2, 64, 64, 5
+    img = rng.random((b, h, w, c)).astype(np.float32)
+    g5 = _grid5(rng, b, f, h, w, jitter=0.06, offset=(-0.15, 0.1))
+    ref = grid_sample(jnp.asarray(img), jnp.asarray(g5).reshape(b, f * h, w, 2))
+    try:
+        for th, tw in ((16, 16), (8, 16), (16, 8), (8, 8)):
+            set_tiles({h: (th, tw)})
+            set_windows({h: (32, 40)})
+            assert bool(tiled_fit(jnp.asarray(img), jnp.asarray(g5))), (th, tw)
+            out = warp_video_tiled(
+                jnp.asarray(img), jnp.asarray(g5), interpret=True
+            )
+            np.testing.assert_allclose(
+                np.asarray(out).reshape(b, f * h, w, c), np.asarray(ref),
+                atol=1e-5, err_msg=f"tile {(th, tw)}",
+            )
+    finally:
+        set_tiles(None)
+        set_windows(None)
+
+    # requirements: halving tile_h can only shrink y_req; halving tile_w
+    # can only shrink x_req (the 8-aligned-origin penalty is per-tile but
+    # never grows when a tile splits)
+    y16, x16 = (np.asarray(v) for v in tile_window_requirements(
+        jnp.asarray(g5), tile=(16, 16)))
+    y8, x8 = (np.asarray(v) for v in tile_window_requirements(
+        jnp.asarray(g5), tile=(8, 16)))
+    assert y8.max() <= y16.max()
+    _, xw8 = (np.asarray(v) for v in tile_window_requirements(
+        jnp.asarray(g5), tile=(16, 8)))
+    assert xw8.max() <= x16.max()
+
+
+def test_configure_tiles_from_meta():
+    from cvpr23_lfdm_tpu.ops.warp_pallas import (
+        _tile_for, configure_windows_from_meta, set_tiles,
+    )
+
+    try:
+        configure_windows_from_meta(
+            {"tiled_windows": {"128": [40, 48]}, "tiled_tiles": {"128": [8, 16]}}
+        )
+        assert _tile_for(128) == (8, 16)
+        assert _tile_for(64) == (16, 16)  # untouched default
+    finally:
+        set_tiles(None)
+        configure_windows_from_meta({"tiled_windows": {}})
