@@ -65,6 +65,41 @@ def shard_batch(tree, mesh: Mesh, axis: str = "data"):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def device_prefetch(
+    batches, mesh: Mesh, axis: str = "data", depth: int = 1, keys=None
+):
+    """Iterate host batches with the device transfer issued `depth` steps
+    ahead: `jax.device_put` is async, so batch i+1's host->device upload
+    (63 MB/step at the DM's bs8 — ~25% of the measured step time over the
+    tunneled chip) streams while the device computes step i. Numerics-
+    neutral: the same `shard_batch` placement, just dispatched early;
+    `shard_batch` on the already-placed tree is a no-op.
+
+    `keys`: for dict batches carrying non-array fields (names, ids),
+    transfer only these keys and pass the rest through untouched."""
+    import collections
+
+    def place(b):
+        if keys is None:
+            return shard_batch(b, mesh, axis)
+        sub = {k: b[k] for k in keys if b.get(k) is not None}
+        out = dict(b)
+        out.update(shard_batch(sub, mesh, axis))
+        return out
+
+    q = collections.deque()
+    it = iter(batches)
+    while True:
+        try:
+            while len(q) <= depth:
+                q.append(place(next(it)))
+        except StopIteration:
+            pass
+        if not q:
+            return
+        yield q.popleft()
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params, opt state) across the mesh."""
     sh = replicated_sharding(mesh)

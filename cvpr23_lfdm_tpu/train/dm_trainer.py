@@ -197,6 +197,9 @@ class DMTrainer:
         over the global step index — a resumed run draws the exact noise
         stream a straight-through run would have.
         """
+        from cvpr23_lfdm_tpu.parallel.mesh import device_prefetch
+
+        batches = device_prefetch(batches, self.mesh)
         t0 = time.perf_counter()
         for i in range(start_step, num_steps):
             step_rng = jax.random.fold_in(rng, i)

@@ -195,6 +195,11 @@ class LFAETrainer:
         """`start_step`: resume protocol (LFAE/train.py:44-56) — run only
         the remaining steps; per-step RNG is `fold_in(rng, global_step)`
         so a resumed run replays the straight-through noise stream."""
+        from cvpr23_lfdm_tpu.parallel.mesh import device_prefetch
+
+        batches = device_prefetch(
+            batches, self.mesh, keys=("source", "driving")
+        )
         t0 = time.perf_counter()
         for i in range(start_step, num_steps):
             step_rng = jax.random.fold_in(rng, i)
