@@ -118,41 +118,25 @@ def main() -> None:
     # is in. When the checkpoint exists the headline measures the serving
     # graph under trained-model flow statistics (same compiled graph —
     # the fit check picks the branch at runtime).
-    from cvpr23_lfdm_tpu.utils.bench_ckpt import load_bench_ckpt
+    from cvpr23_lfdm_tpu.utils.bench_ckpt import apply_bench_ckpt
 
     weights = "random"
-    loaded = load_bench_ckpt(
+    applied = apply_bench_ckpt(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "assets", "bench_ckpt"),
-        unet_vars, lfae_vars,
+        cfg, unet_vars, lfae_vars,
     )
-    if loaded is not None:
-        unet_vars, lfae_vars = loaded.unet_vars, loaded.lfae_vars
-        cond = jnp.asarray(loaded.cond)[None]
-        if loaded.ref is not None:
-            ref_img = jnp.asarray(loaded.ref)[None]
-        rebuild = loaded.meta["objective"] != cfg.diffusion.objective
-        # checkpoint-adaptive tiled-warp windows + per-scale impl cap:
-        # measured margins/winners travel with the checkpoint (probe_fit)
-        from cvpr23_lfdm_tpu.ops.warp_pallas import configure_windows_from_meta
-
-        configure_windows_from_meta(loaded.meta)
-        if loaded.meta.get("tiled_max_res") is not None:
-            cfg = cfg.replace(lfae=dataclasses.replace(
-                cfg.lfae, warp_tiled_max_res=int(loaded.meta["tiled_max_res"])))
-            rebuild = True
-        if rebuild:
-            cfg = cfg.replace(diffusion=dataclasses.replace(
-                cfg.diffusion, objective=loaded.meta["objective"]))
-            model = FlowDiffusion(cfg.lfae, cfg.diffusion)
-        # CRITICAL: the loaded checkpoint is host numpy; jitted calls
-        # device_put numpy args on EVERY dispatch, so without this the
-        # headline re-uploads ~300 MB of fp32 params over the tunnel per
-        # video — the actual cause of BENCH_r04's 40x collapse (10.68 f/s;
-        # random-weight rounds were fast because init returns device
-        # arrays). Place once; calls then pass resident buffers.
-        unet_vars = jax.device_put(unet_vars)
-        lfae_vars = jax.device_put(lfae_vars)
+    if applied is not None:
+        # apply_bench_ckpt returns DEVICE-RESIDENT weight trees (jitted
+        # calls device_put numpy args on EVERY dispatch — host-resident
+        # weights were the actual cause of BENCH_r04's 40x collapse), a
+        # cfg rebuilt for the checkpoint's training objective, and the
+        # checkpoint's measured tiled-warp windows / per-scale impl cap
+        # already installed (configure_windows_from_meta).
+        cfg, unet_vars, lfae_vars, cond, ref, _meta = applied
+        if ref is not None:
+            ref_img = ref
+        model = FlowDiffusion(cfg.lfae, cfg.diffusion)
         weights = "trained-synthetic"
     ref_img = jax.device_put(ref_img)
     cond = jax.device_put(cond)

@@ -150,6 +150,42 @@ def save_bench_ckpt(
             )
 
 
+def apply_bench_ckpt(directory: str, cfg, unet_vars, lfae_vars):
+    """Load a bench checkpoint AND reconfigure `cfg` to match it: the
+    sampler is rebuilt with the objective the weights were trained under,
+    and the tiled decode warp gets the checkpoint's measured windows /
+    tile shapes / per-scale impl cap (`configure_windows_from_meta`).
+
+    Returns `(cfg, unet_vars, lfae_vars, cond, ref, meta)` with
+    device-resident weight trees and `cond` `[1, D]` / `ref` `[1, H, W, 3]`
+    (or the passed-through vars and `ref=None` pieces untouched — callers
+    should rebuild their model from the returned cfg either way), or
+    `None` when the directory is absent/incomplete. Shared by bench.py,
+    scripts/bench_batch_sweep.py and scripts/test_dm.py --bench-ckpt."""
+    import jax.numpy as jnp
+
+    loaded = load_bench_ckpt(directory, unet_vars, lfae_vars)
+    if loaded is None:
+        return None
+    from cvpr23_lfdm_tpu.ops.warp_pallas import configure_windows_from_meta
+
+    configure_windows_from_meta(loaded.meta)
+    lfae_cfg = cfg.lfae
+    if loaded.meta.get("tiled_max_res") is not None:
+        lfae_cfg = dataclasses.replace(
+            lfae_cfg, warp_tiled_max_res=int(loaded.meta["tiled_max_res"])
+        )
+    cfg = cfg.replace(
+        diffusion=dataclasses.replace(
+            cfg.diffusion, objective=loaded.meta["objective"]
+        ),
+        lfae=lfae_cfg,
+    )
+    cond = jnp.asarray(loaded.cond)[None]
+    ref = jnp.asarray(loaded.ref)[None] if loaded.ref is not None else None
+    return cfg, loaded.unet_vars, loaded.lfae_vars, cond, ref, loaded.meta
+
+
 def load_bench_ckpt(directory: str, unet_template, lfae_template):
     """Returns a `BenchCkpt` with the saved weights cast to each template
     leaf's dtype and the generator subtree grafted into `lfae_template`

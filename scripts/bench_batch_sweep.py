@@ -45,7 +45,7 @@ def main() -> None:
     from cvpr23_lfdm_tpu.config import mug_config
     from cvpr23_lfdm_tpu.diffusion.flow_diffusion import FlowDiffusion
     from cvpr23_lfdm_tpu.models.flow_autoenc import init_lfae_vars
-    from cvpr23_lfdm_tpu.utils.bench_ckpt import load_bench_ckpt
+    from cvpr23_lfdm_tpu.utils.bench_ckpt import apply_bench_ckpt
 
     cfg = mug_config()
     cfg = cfg.replace(
@@ -65,27 +65,16 @@ def main() -> None:
     cond1 = jax.random.normal(k_cond, (1, cfg.diffusion.cond_dim), jnp.float32)
 
     weights = "random"
-    loaded = load_bench_ckpt(
-        os.path.join(REPO, "assets", "bench_ckpt"), unet_vars, lfae_vars
+    applied = apply_bench_ckpt(
+        os.path.join(REPO, "assets", "bench_ckpt"), cfg, unet_vars, lfae_vars
     )
-    if loaded is not None:
-        unet_vars, lfae_vars = loaded.unet_vars, loaded.lfae_vars
-        cond1 = jnp.asarray(loaded.cond)[None]
-        if loaded.ref is not None:
-            ref1 = jnp.asarray(loaded.ref)[None]
-        # checkpoint-adaptive warp windows + per-scale cap, like bench.py
-        from cvpr23_lfdm_tpu.ops.warp_pallas import configure_windows_from_meta
-
-        configure_windows_from_meta(loaded.meta)
-        rebuild = loaded.meta["objective"] != cfg.diffusion.objective
-        if loaded.meta.get("tiled_max_res") is not None:
-            cfg = cfg.replace(lfae=dataclasses.replace(
-                cfg.lfae, warp_tiled_max_res=int(loaded.meta["tiled_max_res"])))
-            rebuild = True
-        if rebuild:
-            cfg = cfg.replace(diffusion=dataclasses.replace(
-                cfg.diffusion, objective=loaded.meta["objective"]))
-            model = FlowDiffusion(cfg.lfae, cfg.diffusion)
+    if applied is not None:
+        # device-resident weights + checkpoint-matched cfg (objective,
+        # measured warp windows, per-scale impl cap) — like bench.py
+        cfg, unet_vars, lfae_vars, cond1, ref, _meta = applied
+        if ref is not None:
+            ref1 = ref
+        model = FlowDiffusion(cfg.lfae, cfg.diffusion)
         weights = "trained-synthetic"
     print(f"weights: {weights}", flush=True)
 

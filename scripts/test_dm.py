@@ -22,6 +22,13 @@ def main() -> None:
     p = base_parser("Evaluate the flow diffusion model on held-out subjects")
     p.add_argument("--lfae-ckpt", default="")
     p.add_argument("--dm-ckpt", default="")
+    p.add_argument(
+        "--bench-ckpt", default="",
+        help="assets/bench_ckpt-style directory (scripts/make_bench_ckpt.py): "
+        "loads the trained UNet + LFAE generator subtree, matches the "
+        "sampler objective and the measured tiled-warp config to the "
+        "checkpoint meta. Overrides --lfae-ckpt/--dm-ckpt",
+    )
     p.add_argument("--cond-scale", type=float, default=1.0)
     p.add_argument(
         "--sampling-steps", type=int, default=0,
@@ -105,6 +112,18 @@ def main() -> None:
     else:
         print("warning: no --dm-ckpt; RANDOM UNet weights (smoke mode)")
         unet_vars = model.init_unet_vars(jax.random.PRNGKey(1))
+
+    if args.bench_ckpt:
+        from cvpr23_lfdm_tpu.utils.bench_ckpt import apply_bench_ckpt
+
+        applied = apply_bench_ckpt(args.bench_ckpt, cfg, unet_vars, lfae_vars)
+        if applied is None:
+            raise SystemExit(f"--bench-ckpt {args.bench_ckpt}: not a "
+                             "complete bench checkpoint directory")
+        cfg, unet_vars, lfae_vars, _cond, _ref, meta = applied
+        model = FlowDiffusion(cfg.lfae, cfg.diffusion)
+        print(f"bench checkpoint loaded (objective {meta['objective']}, "
+              f"tiled_max_res {meta.get('tiled_max_res')})")
 
     # device-resident weights: host numpy args would re-upload the whole
     # model over the tunnel on EVERY jitted eval call (BENCH_r04's 40x)
