@@ -117,24 +117,24 @@ def main() -> None:
     # trained-regime weights when available (same pickup as bench.py):
     # the tiled decode warp's fit check takes the fast branch only under
     # trained-model flow statistics
-    from cvpr23_lfdm_tpu.utils.bench_ckpt import load_bench_ckpt
+    from cvpr23_lfdm_tpu.utils.bench_ckpt import apply_bench_ckpt
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    loaded = load_bench_ckpt(
-        os.path.join(repo, "assets", "bench_ckpt"), unet_vars, lfae_vars
+    applied = apply_bench_ckpt(
+        os.path.join(repo, "assets", "bench_ckpt"), cfg, unet_vars, lfae_vars
     )
     weights = "random"
     cond_row = None
     ref_row = None
-    if loaded is not None:
-        unet_vars, lfae_vars = loaded.unet_vars, loaded.lfae_vars
-        cond_row, ref_row = loaded.cond, loaded.ref
-        if loaded.meta["objective"] != cfg.diffusion.objective:
-            cfg = dataclasses.replace(cfg, diffusion=dataclasses.replace(
-                cfg.diffusion, objective=loaded.meta["objective"]))
-            model = FlowDiffusion(cfg.lfae, cfg.diffusion)
+    if applied is not None:
+        # device-resident weights + checkpoint-matched cfg (objective,
+        # measured warp windows, per-scale impl cap): the trace must
+        # profile the exact shipped serving graph
+        cfg, unet_vars, lfae_vars, cond_row, ref_row, _meta = applied
+        model = FlowDiffusion(cfg.lfae, cfg.diffusion)
         weights = "trained-synthetic"
-    print(f"weights: {weights}", flush=True)
+    print(f"weights: {weights} warp_tiled_max_res: "
+          f"{cfg.lfae.warp_tiled_max_res}", flush=True)
 
     def sample(unet_vars, lfae_vars, rng, ref_img, cond):
         out = model.sample_video(unet_vars, lfae_vars, rng, ref_img, cond, cond_scale=1.0)
@@ -143,12 +143,10 @@ def main() -> None:
     for bb in args.batch:
         ref_img = jax.random.uniform(k_img, (bb, 128, 128, 3), jnp.float32)
         cond = jax.random.normal(k_cond, (bb, cfg.diffusion.cond_dim), jnp.float32)
-        if cond_row is not None:
-            cond = jnp.broadcast_to(jnp.asarray(cond_row)[None], cond.shape)
-        if ref_row is not None:
-            ref_img = jnp.broadcast_to(
-                jnp.asarray(ref_row)[None], ref_img.shape
-            )
+        if cond_row is not None:  # [1, D] from apply_bench_ckpt
+            cond = jnp.broadcast_to(cond_row, cond.shape)
+        if ref_row is not None:  # [1, H, W, 3]
+            ref_img = jnp.broadcast_to(ref_row, ref_img.shape)
         t0 = time.perf_counter()
         compiled = jax.jit(sample).lower(unet_vars, lfae_vars, k_s, ref_img, cond).compile()
         print(f"[B={bb}] compile {time.perf_counter() - t0:.1f}s", flush=True)

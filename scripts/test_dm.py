@@ -286,12 +286,14 @@ def main() -> None:
 
         fvd = FVD(fvd_extract)
         real_arr, fake_arr = np.stack(real_set), np.stack(fake_set)
-        line += f" fvd {float(fvd(real_arr, fake_arr)):.2f}"
+        # %.4g: random-extractor smoke values are tiny (deep random I3D
+        # logits are near-constant) — fixed-point %.2f rounds them to 0.00
+        line += f" fvd {float(fvd(real_arr, fake_arr)):.4g}"
         # the paper's conditional variants (arXiv:2303.13744): FVD within
         # each class (cFVD) / each subject (sFVD), averaged over conditions
         cfvd, _ = fvd.grouped(real_arr, fake_arr, classes, classes)
         sfvd, _ = fvd.grouped(real_arr, fake_arr, subjects, subjects)
-        line += f" cfvd {cfvd:.2f} sfvd {sfvd:.2f}"
+        line += f" cfvd {cfvd:.4g} sfvd {sfvd:.4g}"
     if report_fits:
         line += (
             " tiled_fit "
