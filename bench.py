@@ -20,6 +20,9 @@ reference's "ddim" test config, DM/test_video_flow_diffusion_mug.py:28-33)
   * `b1_pipelined_fps` — B=1 steady-state with requests enqueued
     back-to-back (one sync at the end): the per-call ~30 ms tunnel RTT
     of `value` is a measurement artifact sequential serving never pays.
+  * `b16_pipelined_fps` / `best_vs_baseline` — the round-5 batch sweep's
+    winning serving configuration (B=16 pipelined, BASELINE.md table)
+    and the best measured throughput relative to the H100 estimate.
 """
 
 from __future__ import annotations
@@ -231,6 +234,33 @@ def main() -> None:
     bt.sort()
     batch_fps = bb * NUM_FRAMES / bt[len(bt) // 2]
 
+    # best-known serving configuration (round-5 batch sweep, BASELINE.md):
+    # B=16 pipelined — per-dispatch overhead amortizes and the sweep's
+    # winner crosses 2x the H100 analytic baseline
+    bbest = 16
+    ref_bb = jnp.broadcast_to(ref_img, (bbest,) + ref_img.shape[1:])
+    cond_bb = jnp.broadcast_to(cond, (bbest,) + cond.shape[1:])
+    compiled_bb = jax.jit(sample).lower(
+        unet_vars, lfae_vars, k_s, ref_bb, cond_bb
+    ).compile()
+
+    def run_b16():
+        return float(
+            jax.device_get(
+                compiled_bb(unet_vars, lfae_vars, k_s, ref_bb, cond_bb)[0]
+            )
+        )
+
+    run_b16(); run_b16()
+    t0 = time.perf_counter()
+    outs16 = [
+        compiled_bb(unet_vars, lfae_vars, k_s, ref_bb, cond_bb)[0]
+        for _ in range(3)
+    ]
+    for o in outs16:
+        float(jax.device_get(o))
+    b16_pipe_fps = 3 * bbest * NUM_FRAMES / (time.perf_counter() - t0)
+
     # decode-stage keys: random-weight sampling produces noise flows, so
     # the tiled one-hot warp's fit check falls back to the XLA gather in
     # the headline above. These two keys time the decode stage alone at
@@ -295,6 +325,10 @@ def main() -> None:
                 "b1_pipelined_fps": round(pipe_fps, 2),
                 "baseline": "h100-analytic, BASELINE.md derivation",
                 "batch8_frames_per_sec": round(batch_fps, 2),
+                "b16_pipelined_fps": round(b16_pipe_fps, 2),
+                "best_vs_baseline": round(
+                    max(fps, pipe_fps, batch_fps, b16_pipe_fps) / BASELINE_FPS, 3
+                ),
                 "model_tflop_per_video": round(graph_flops / 1e12, 4),
                 "achieved_tflops": round(achieved_tflops, 2),
                 "mfu": round(achieved_tflops / V5E_PEAK_TFLOPS, 4),
