@@ -151,6 +151,11 @@ class DiffusionConfig:
     # temporal attention implementation: "xla" | "pallas" (packed-tile TPU
     # kernel — the serving configuration)
     temporal_attn_impl: str = "xla"
+    # lax.scan unroll factor for the samplers (1 = rolled loop). Unrolling
+    # a short DDIM chain gives XLA straight-line HLO to schedule across
+    # step boundaries (fuse step i's epilogue into i+1's prologue, drop
+    # the while-loop iteration overhead) at the cost of compile time.
+    sampler_unroll: int = 1
 
 
 @dataclass(frozen=True)

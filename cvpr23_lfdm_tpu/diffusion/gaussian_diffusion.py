@@ -73,6 +73,8 @@ class GaussianDiffusion:
     # clean latent (in part) and reach the trained flow regime orders of
     # magnitude sooner.
     objective: str = "eps"
+    # lax.scan unroll for the sampling loops (DiffusionConfig.sampler_unroll)
+    sampler_unroll: int = 1
 
     @staticmethod
     def create(cfg) -> "GaussianDiffusion":
@@ -87,6 +89,7 @@ class GaussianDiffusion:
             dynamic_thres_percentile=cfg.dynamic_thres_percentile,
             null_cond_prob=cfg.null_cond_prob,
             objective=getattr(cfg, "objective", "eps"),
+            sampler_unroll=getattr(cfg, "sampler_unroll", 1),
         )
 
     @property
@@ -290,7 +293,9 @@ class GaussianDiffusion:
             img = mean + nonzero * jnp.exp(0.5 * log_var) * noise
             return img, None
 
-        img, _ = jax.lax.scan(step, img, (ts, noise_seq))
+        img, _ = jax.lax.scan(
+            step, img, (ts, noise_seq), unroll=max(1, self.sampler_unroll)
+        )
         return img
 
     # ---------------------------------------------------------------- DDIM
@@ -344,7 +349,8 @@ class GaussianDiffusion:
             return img, None
 
         img, _ = jax.lax.scan(
-            step, img, (t_cur, t_next, alpha_next, sigma, coef, noise_seq)
+            step, img, (t_cur, t_next, alpha_next, sigma, coef, noise_seq),
+            unroll=max(1, self.sampler_unroll),
         )
         return img
 

@@ -1,19 +1,29 @@
-"""Multi-chip data-parallel serving of the full sampling pipeline.
+"""Multi-chip serving of the full sampling pipeline (dp / tp / sp).
 
 The reference never shards serving: even its multi-GPU trainer samples on
 a single device (DM/train_video_flow_diffusion_mhad_multiGPU.py:357 uses
 `model.module...` to bypass DataParallel for `sample_one_video`). Here the
 whole `sample_video` graph (encoder -> DDIM scan -> frame-batched decode)
-is jitted once over a `data` mesh with the request batch sharded across
-devices and the weights replicated; GSPMD emits the ICI collectives. The
-output matches the single-device graph to ulp-level tolerance: threefry
-bits are a pure function of key+shape (sharding-independent) and the
-forward has no cross-batch collectives, but XLA fuses the per-device
-batch-1 program differently than the batch-N one, giving ~1e-5 fp32
-reduction-order drift (`tests/test_serving_mesh.py`).
+is jitted once over a mesh and GSPMD emits the ICI collectives:
 
-Used by `scripts/demo.py --mesh dp=N` and `scripts/test_dm.py --mesh dp=N`
-(the product multi-chip serving mode) and by `__graft_entry__.py`'s
+  * `dp=N` (`data` axis) — request batch sharded, weights replicated: the
+    production throughput mode.
+  * `tp=N` (`model` axis) — UNet parameters tensor-sharded under
+    UNET_TP_RULES (parallel/mesh.py): HBM relief for denoisers too big
+    for one chip; attention runs column/row-parallel with one reduce per
+    block.
+  * `sp=N` (`space` axis) — reference-image height sharded; XLA
+    spatially partitions the LFAE encoder/decoder convs (halo exchanges):
+    activation-HBM relief for resolutions far above 128².
+
+Output matches the single-device graph to ulp-level tolerance: threefry
+bits are a pure function of key+shape (sharding-independent) and the
+forward has no cross-batch collectives, but XLA fuses each partitioning
+differently, giving ~1e-5 fp32 reduction-order drift
+(`tests/test_serving_mesh.py` pins dp, dp x tp, and dp x sp).
+
+Used by `scripts/demo.py --mesh ...` and `scripts/test_dm.py --mesh ...`
+(the product multi-chip serving modes) and by `__graft_entry__.py`'s
 serving dryrun leg.
 """
 
@@ -42,24 +52,32 @@ def parse_mesh_spec(spec: str) -> dict[str, int]:
     return out
 
 
+# CLI axis -> mesh axis name. `data` shards the request batch, `model`
+# tensor-shards the UNet parameters (UNET_TP_RULES), `space` spatially
+# partitions the image/feature height (XLA inserts conv halo exchanges).
+_AXIS_NAMES = {"dp": "data", "tp": "model", "sp": "space"}
+
+
 def serving_mesh(spec: str):
-    """Build the serving mesh for a `--mesh` spec. Only `dp` is meaningful
-    for serving today (`sample_video` is data-parallel over requests);
-    tp/sp specs raise so the user is not silently under-sharded."""
+    """Build the serving mesh for a `--mesh` spec: any combination of
+    `dp=`/`tp=`/`sp=` (e.g. `"dp=4,tp=2"`). The reference never shards
+    serving at all; dp is the production mode (batch over requests),
+    tp/sp are the HBM-relief modes for models/resolutions too big for one
+    chip (weights resp. activations sharded)."""
     axes = parse_mesh_spec(spec)
     if not axes:
         return None
-    if set(axes) != {"dp"}:
+    total = 1
+    for v in axes.values():
+        total *= v
+    if total > len(jax.devices()):
         raise ValueError(
-            f"serving supports --mesh dp=N only (got {spec!r}); tensor/"
-            "sequence parallel serving is not wired into the CLI"
+            f"--mesh {spec!r} needs {total} devices but only "
+            f"{len(jax.devices())} visible"
         )
-    n = axes["dp"]
-    if n > len(jax.devices()):
-        raise ValueError(
-            f"--mesh dp={n} but only {len(jax.devices())} devices visible"
-        )
-    return make_mesh((n,), ("data",))
+    return make_mesh(
+        tuple(axes.values()), tuple(_AXIS_NAMES[k] for k in axes)
+    )
 
 
 def sample_video_sharded(
@@ -75,12 +93,22 @@ def sample_video_sharded(
     """Data-parallel `FlowDiffusion.sample_video` over `mesh`.
 
     `ref_imgs [B, H, W, 3]` / `conds [B, cond_dim]` are padded (edge-repeat)
-    to a multiple of the mesh's device count, sharded over the `data` axis,
-    and sampled in ONE jitted dispatch; pad rows are stripped from every
-    output. Weights and the rng key are replicated.
+    to a multiple of the mesh's `data` axis, sharded over it, and sampled
+    in ONE jitted dispatch; pad rows are stripped from every output.
+
+    Per mesh axis: `data` shards the request batch; `model` tensor-shards
+    the UNet parameters under UNET_TP_RULES (Megatron column/row attention
+    pairs, conv output channels — LFAE weights stay replicated: the decode
+    is gather/conv-bound, not weight-bound); `space` shards the reference
+    image height, which GSPMD propagates through the encoder/decoder convs
+    as spatial partitioning with halo exchanges. The rng key is replicated;
+    threefry bits are a pure function of key+shape, so every sharding
+    samples the same video up to fusion-order float drift
+    (tests/test_serving_mesh.py pins dp/tp/sp against single-device).
     """
+    has = set(mesh.axis_names)
     b = ref_imgs.shape[0]
-    n = mesh.devices.size
+    n = mesh.shape["data"] if "data" in has else 1
     pad = (-b) % n
     if pad:
         ref_imgs = jnp.concatenate(
@@ -91,12 +119,20 @@ def sample_video_sharded(
         )
 
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    unet_vars = jax.device_put(unet_vars, repl)
+    batch_axis = "data" if "data" in has else None
+    if "model" in has:
+        from cvpr23_lfdm_tpu.parallel.mesh import shard_variables
+
+        unet_vars = shard_variables(jax.device_get(unet_vars), mesh)
+    else:
+        unet_vars = jax.device_put(unet_vars, repl)
     lfae_vars = jax.device_put(lfae_vars, repl)
     rng = jax.device_put(rng, repl)
-    ref_imgs = jax.device_put(ref_imgs, data)
-    conds = jax.device_put(conds, data)
+    space_axis = "space" if "space" in has else None
+    ref_imgs = jax.device_put(
+        ref_imgs, NamedSharding(mesh, P(batch_axis, space_axis))
+    )
+    conds = jax.device_put(conds, NamedSharding(mesh, P(batch_axis)))
 
     @jax.jit
     def sharded(uv, lv, k, ref, cond):

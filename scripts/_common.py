@@ -70,10 +70,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="multi-host: total process count (0 = single)")
     p.add_argument(
         "--mesh", default="",
-        help="multi-chip serving mesh, e.g. 'dp=8': shard the request "
-        "batch over a data mesh and sample in one jitted dispatch "
-        "(ulp-identical to single-device; parallel/serving.py). Empty = "
-        "single device.",
+        help="multi-chip serving mesh, e.g. 'dp=8' or 'dp=4,tp=2' or "
+        "'dp=4,sp=2': request batch sharded over dp, UNet weights "
+        "tensor-sharded over tp (UNET_TP_RULES), image height spatially "
+        "partitioned over sp — one jitted dispatch, ulp-identical to "
+        "single-device (parallel/serving.py). Empty = single device.",
     )
     p.add_argument("--process-id", type=int, default=-1,
                    help="multi-host: this process's id (with --coordinator)")

@@ -38,9 +38,11 @@ def test_parse_mesh_spec():
     with pytest.raises(ValueError):
         parse_mesh_spec("zz=2")
     with pytest.raises(ValueError):
-        serving_mesh("tp=2")  # serving is dp-only in the CLI
-    with pytest.raises(ValueError):
         serving_mesh(f"dp={len(jax.devices()) + 1}")
+    m = serving_mesh("dp=4,tp=2")
+    assert m.axis_names == ("data", "model") and m.shape["model"] == 2
+    m = serving_mesh("dp=4,sp=2")
+    assert m.axis_names == ("data", "space")
 
 
 def test_sharded_sampling_bit_identical():
@@ -73,6 +75,42 @@ def test_sharded_sampling_bit_identical():
             np.asarray(sh_out[key]), np.asarray(ref_out[key]),
             atol=2e-4, rtol=0,
             err_msg=f"sharded serving output {key!r} differs",
+        )
+
+
+@pytest.mark.parametrize("spec", ["dp=4,tp=2", "dp=4,sp=2"])
+def test_sharded_sampling_tp_sp_matches_single_device(spec):
+    """Tensor- and spatially-partitioned serving produce the same videos
+    as the single-device graph (GSPMD value-preservation; only
+    fusion-order fp32 drift remains)."""
+    cfg, model, lfae_vars, unet_vars = _tiny_model_and_vars()
+    s = cfg.lfae.frame_shape
+    b = 4
+    k = jax.random.PRNGKey(0)
+    refs = jax.random.uniform(
+        jax.random.PRNGKey(1), (b, s, s, 3), jnp.float32
+    )
+    conds = jax.random.normal(
+        jax.random.PRNGKey(2), (b, cfg.diffusion.cond_dim), jnp.float32
+    )
+
+    @jax.jit
+    def single(uv, lv, key, ref, cond):
+        return model.sample_video(uv, lv, key, ref, cond, cond_scale=1.0)
+
+    ref_out = jax.device_get(single(unet_vars, lfae_vars, k, refs, conds))
+    mesh = serving_mesh(spec)
+    sh_out = jax.device_get(
+        sample_video_sharded(
+            model, mesh, unet_vars, lfae_vars, k, refs, conds, 1.0
+        )
+    )
+    assert set(sh_out) == set(ref_out)
+    for key in ref_out:
+        np.testing.assert_allclose(
+            np.asarray(sh_out[key]), np.asarray(ref_out[key]),
+            atol=2e-4, rtol=0,
+            err_msg=f"{spec} serving output {key!r} differs",
         )
 
 
