@@ -134,3 +134,43 @@ def test_save_bench_ckpt_writer_lock_and_atomicity(tmp_path):
 
     # lock released -> saving works again
     save_bench_ckpt(d, unet, lfae, cond)
+
+
+def test_apply_bench_ckpt_reconfigures_cfg(tmp_path):
+    """The shared apply helper (bench.py / bench_batch_sweep / test_dm
+    --bench-ckpt): loads device-resident trees, rewrites cfg to the
+    checkpoint's objective + per-scale warp cap, and shapes cond/ref to
+    batch-1 rows."""
+    import jax
+
+    from cvpr23_lfdm_tpu.config import mug_config
+    from cvpr23_lfdm_tpu.utils.bench_ckpt import (
+        apply_bench_ckpt, save_bench_ckpt,
+    )
+
+    rng = np.random.default_rng(5)
+    lfae = _tree(rng)
+    unet = {"params": {"conv": {"k": rng.standard_normal((3, 3)).astype(np.float32)}}}
+    cond = rng.standard_normal((768,)).astype(np.float32)
+    ref = rng.random((8, 8, 3)).astype(np.float32)
+    d = str(tmp_path / "ck")
+
+    cfg = mug_config()
+    assert apply_bench_ckpt(d, cfg, unet, lfae) is None  # absent -> None
+
+    save_bench_ckpt(
+        d, unet, lfae, cond, ref=ref,
+        meta={"objective": "x0", "tiled_max_res": 32},
+    )
+    applied = apply_bench_ckpt(d, cfg, unet, lfae)
+    assert applied is not None
+    cfg2, unet2, lfae2, cond2, ref2, meta = applied
+    assert cfg2.diffusion.objective == "x0"
+    assert cfg2.lfae.warp_tiled_max_res == 32
+    assert meta["tiled_max_res"] == 32
+    # weight trees are device-resident (host numpy leaves re-upload per
+    # jitted dispatch — the BENCH_r04 collapse)
+    for leaf in jax.tree_util.tree_leaves((unet2, lfae2)):
+        assert isinstance(leaf, jax.Array)
+    assert cond2.shape == (1, 768) and ref2.shape == (1, 8, 8, 3)
+    np.testing.assert_allclose(np.asarray(cond2)[0], cond)
